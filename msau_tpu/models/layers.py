@@ -1,0 +1,282 @@
+"""Layer library: conv / dilated conv / deconv blocks with TF-SAME semantics.
+
+TPU-first notes
+---------------
+* Everything is NHWC — the native layout for XLA:TPU convolutions; the MXU
+  consumes [N*H*W, KH*KW*Cin] x [KH*KW*Cin, Cout] tiles directly.
+* ``padding='SAME'`` in XLA reproduces exactly the asymmetric TF-SAME padding
+  the reference emulates by hand (reference: model/layers/utils.py:5-28);
+  for even kernels the extra pixel lands bottom/right, for atrous convs the
+  effective kernel size is used.  No manual padding needed.
+* Initialization follows the reference TF-style scheme
+  (model/layers/layers.py:33-41,59-60): weight ~ N(0, sqrt(2/(kh*kw*cin+cout))),
+  bias ~ N(0.1, 1e-5).
+* LRN (torch.nn.LocalResponseNorm with size == n_features, the reference
+  default for dilated convs, model/layers/layers.py:75,145) is implemented
+  with a channel-axis sliding-window sum via cumsum — cheap on the VPU and
+  fuses with the surrounding ops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def tf_conv_kernel_init(kh: int, kw: int, cin: int, cout: int):
+    """stddev = sqrt(2 / (kh*kw*cin + cout)) — reference initOpt=0."""
+    stddev = (2.0 / (kh * kw * cin + cout)) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(stddev, dtype)
+
+    return init
+
+
+def tf_bias_init(mean: float = 0.1, stddev: float = 1e-5):
+    def init(key, shape, dtype=jnp.float32):
+        return mean + jax.random.normal(key, shape, dtype) * jnp.asarray(stddev, dtype)
+
+    return init
+
+
+def get_activation(name: Optional[str]) -> Optional[Callable[[jnp.ndarray], jnp.ndarray]]:
+    if name is None or name == "none":
+        return None
+    return {
+        "relu": jax.nn.relu,
+        "elu": jax.nn.elu,
+        "gelu": jax.nn.gelu,
+        "identity": lambda x: x,
+    }[name]
+
+
+def local_response_norm(
+    x: jnp.ndarray,
+    size: int,
+    alpha: float = 1e-4,
+    beta: float = 0.75,
+    k: float = 1.0,
+) -> jnp.ndarray:
+    """torch.nn.LocalResponseNorm semantics on NHWC input.
+
+    b_c = a_c / (k + alpha/size * sum_{c' in window(c)} a_{c'}^2)^beta with the
+    window [c - size//2, c + (size-1)//2] clamped to the channel range —
+    matching torch's avg_pool3d-based implementation used by the reference
+    (model/layers/layers.py:75,145).
+    """
+    sq = jnp.square(x)
+    c = x.shape[-1]
+    lo = size // 2
+    hi = (size - 1) // 2
+    # sliding-window channel sum via padded cumsum: O(C), fuses on the VPU.
+    cs = jnp.cumsum(sq, axis=-1)
+    zero = jnp.zeros_like(cs[..., :1])
+    cs = jnp.concatenate([zero, cs], axis=-1)  # cs[..., i] = sum of first i
+    idx_hi = jnp.clip(jnp.arange(c) + hi + 1, 0, c)
+    idx_lo = jnp.clip(jnp.arange(c) - lo, 0, c)
+    win = jnp.take(cs, idx_hi, axis=-1) - jnp.take(cs, idx_lo, axis=-1)
+    denom = jnp.power(k + (alpha / size) * win, beta)
+    return x / denom
+
+
+class ConvBnLrnDrop(nn.Module):
+    """Conv2d + optional BatchNorm / LRN / Dropout, TF-SAME padding.
+
+    Mirrors reference ``Conv2dBnLrnDrop`` (model/layers/layers.py:10-102).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    activation: Optional[str] = "relu"
+    use_bn: bool = False
+    use_lrn: bool = False
+    keep_prob: float = 1.0
+    padding: str = "SAME"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            kernel_init=tf_conv_kernel_init(kh, kw, cin, self.features),
+            bias_init=tf_bias_init(),
+            dtype=self.dtype,
+        )(x)
+        if self.use_bn:
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        act = get_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        if self.use_lrn:
+            y = local_response_norm(y, size=self.features)
+        if self.keep_prob < 1.0:
+            y = nn.Dropout(rate=1.0 - self.keep_prob, deterministic=not train)(y)
+        return y
+
+
+class DilConvBnLrnDrop(nn.Module):
+    """Dilated (atrous) conv; LRN on by default, matching the reference
+    ``DilConv2dBnLrnDrop`` (model/layers/layers.py:105-164).
+
+    XLA 'SAME' with kernel_dilation pads by the effective kernel size —
+    identical to the reference's atrous_conv2d SAME emulation
+    (model/layers/utils.py:21-26).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    rate: int = 1
+    activation: Optional[str] = "relu"
+    use_bn: bool = False
+    use_lrn: bool = True
+    keep_prob: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=(1, 1),
+            padding="SAME",
+            kernel_dilation=(self.rate, self.rate),
+            kernel_init=tf_conv_kernel_init(kh, kw, cin, self.features),
+            bias_init=tf_bias_init(),
+            dtype=self.dtype,
+        )(x)
+        if self.use_bn:
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        act = get_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        if self.use_lrn:
+            y = local_response_norm(y, size=self.features)
+        if self.keep_prob < 1.0:
+            y = nn.Dropout(rate=1.0 - self.keep_prob, deterministic=not train)(y)
+        return y
+
+
+class DeconvBnLrnDrop(nn.Module):
+    """Stride-2 transposed conv resized to an exact target spatial shape.
+
+    Mirrors reference ``Deconv2DBnLrnDrop`` (model/layers/layers.py:207-260),
+    whose ``output_size=`` argument forces the output to match the skip
+    connection exactly (model/model.py:230).  Here ``target_hw`` crops the
+    XLA 'SAME' conv_transpose output (2*H, 2*W) to the skip shape — identical
+    geometry for the even sizes produced by SAME pooling, and a bottom/right
+    crop (torch's output_padding inverse) otherwise.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    stride: int = 2
+    activation: Optional[str] = None
+    use_lrn: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        y = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            kernel_init=tf_conv_kernel_init(kh, kw, self.features, cin),
+            bias_init=tf_bias_init(),
+            dtype=self.dtype,
+        )(x)
+        th, tw = target_hw
+        y = y[:, :th, :tw, :]
+        act = get_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        if self.use_lrn:
+            y = local_response_norm(y, size=self.features)
+        return y
+
+
+class MultiConvResidualBlock(nn.Module):
+    """relu(x) -> res_depth convs (last without activation) -> +x -> act.
+
+    Mirrors reference ``MultiConvResidualBlock`` (model/model.py:8-50).
+    """
+
+    res_depth: int
+    filter_size: int
+    channels: int
+    activation: str = "relu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        orig = x
+        y = jax.nn.relu(x)
+        k = (self.filter_size, self.filter_size)
+        for i in range(self.res_depth):
+            act = self.activation if i < self.res_depth - 1 else None
+            y = ConvBnLrnDrop(
+                features=self.channels,
+                kernel_size=k,
+                activation=act,
+                dtype=self.dtype,
+            )(y, train=train)
+        y = y + orig
+        act = get_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        return y
+
+
+class DownSampleResNet(nn.Module):
+    """Residual conv stack + maxpool + 4x4 stride-2 class conv.
+
+    Mirrors reference ``DownSampleResNet`` (model/layers/layers.py:176-204),
+    used as the guidance network for the (optional) CSPN path.
+    """
+
+    channel_in: int
+    channel_out: int
+    filter_size: int = 3
+    res_depth: int = 3
+    pool_size: int = 2
+    activation: str = "relu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        orig = x
+        k = (self.filter_size, self.filter_size)
+        for i in range(self.res_depth):
+            act = self.activation if i < self.res_depth - 1 else None
+            x = ConvBnLrnDrop(self.channel_in, k, activation=act, dtype=self.dtype)(
+                x, train=train
+            )
+        x = x + orig
+        act = get_activation(self.activation)
+        x = act(x) if act is not None else x
+        x = nn.max_pool(
+            x,
+            window_shape=(self.pool_size, self.pool_size),
+            strides=(self.pool_size, self.pool_size),
+            padding="SAME",
+        )
+        x = ConvBnLrnDrop(
+            self.channel_out, (4, 4), strides=(2, 2), activation="relu", dtype=self.dtype
+        )(x, train=train)
+        return x

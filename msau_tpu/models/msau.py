@@ -1,0 +1,311 @@
+"""Multi-Stage Attention U-Net (MSAU) — TPU-native flax implementation.
+
+Topology mirrors the reference network (model/model.py:53-437):
+
+  * ``num_blocks`` (default 3) coupled attention U-Net stages.  Stage 0 takes
+    the chargrid input; stages 1..n take the previous stage's n_class map.
+  * Each stage: a down tower (per scale: dilated conv rate 2**scale + LRN →
+    residual conv block → optional 1x1 coupling with the previous stage's
+    down activation → self-attention at the deepest scale → SAME maxpool)
+    and an up tower (per scale: deconv to the exact skip shape → concat skip
+    → 1x1-equivalent conv → residual block → optional coupling with the
+    previous stage's up activation).
+  * A 4x4 ``end_conv`` maps feat_root → n_class per stage; the stage-(n-2)
+    output is the auxiliary logits head (model/model.py:375-376,390-393).
+
+All tensors are NHWC.  ``remat=True`` wraps each stage in jax.checkpoint to
+trade FLOPs for HBM at 1024² scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from msau_tpu.config import ModelConfig
+from msau_tpu.models.attention import SelfAttentionBlock
+from msau_tpu.models.layers import (
+    ConvBnLrnDrop,
+    DeconvBnLrnDrop,
+    DilConvBnLrnDrop,
+    MultiConvResidualBlock,
+    get_activation,
+)
+
+Dtype = Any
+
+
+class DownSamplingUNetBlock(nn.Module):
+    """Down tower of one U-Net stage (reference model/model.py:53-164)."""
+
+    scale_space_num: int
+    res_depth: int
+    feat_root: int
+    filter_size: int
+    pool_size: int
+    activation: str
+    use_prev_coupled: bool
+    attention_impl: str = "auto"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        prev_dw_h_convs: Optional[List[jnp.ndarray]] = None,
+        *,
+        train: bool = False,
+    ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+        if self.use_prev_coupled:
+            assert prev_dw_h_convs is not None, "coupled stage needs previous tower"
+        dw_h_convs: List[jnp.ndarray] = []
+        k = (self.filter_size, self.filter_size)
+        feats = self.feat_root
+        for layer in range(self.scale_space_num):
+            y = DilConvBnLrnDrop(
+                features=feats,
+                kernel_size=k,
+                rate=self.pool_size ** layer,
+                activation=None,
+                use_lrn=True,
+                dtype=self.dtype,
+                name=f"dil_conv_{layer}",
+            )(x, train=train)
+            y = MultiConvResidualBlock(
+                res_depth=self.res_depth,
+                filter_size=self.filter_size,
+                channels=feats,
+                activation=self.activation,
+                dtype=self.dtype,
+                name=f"res_block_{layer}",
+            )(y, train=train)
+            if self.use_prev_coupled:
+                y = jnp.concatenate([prev_dw_h_convs[layer], y], axis=-1)
+                y = ConvBnLrnDrop(
+                    features=feats,
+                    kernel_size=(1, 1),
+                    activation=self.activation,
+                    dtype=self.dtype,
+                    name=f"couple_conv_{layer}",
+                )(y, train=train)
+            if layer > self.scale_space_num - 2:  # deepest scale only
+                y = SelfAttentionBlock(
+                    input_channels=feats,
+                    impl=self.attention_impl,
+                    dtype=self.dtype,
+                    name=f"attention_{layer}",
+                )(y)
+            dw_h_convs.append(y)
+            if layer < self.scale_space_num - 1:
+                x = nn.max_pool(
+                    y,
+                    window_shape=(self.pool_size, self.pool_size),
+                    strides=(self.pool_size, self.pool_size),
+                    padding="SAME",
+                )
+            else:
+                x = y
+            feats *= self.pool_size
+        return dw_h_convs, x
+
+
+class UpSamplingUNetBlock(nn.Module):
+    """Up tower of one U-Net stage (reference model/model.py:167-259)."""
+
+    scale_space_num: int
+    res_depth: int
+    filter_size: int
+    pool_size: int
+    activation: str
+    act_feat_num: int  # features at scale S-2 (deepest up level)
+    use_prev_coupled: bool
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        dw_h_convs: List[jnp.ndarray],
+        x: jnp.ndarray,
+        prev_up_h_convs: Optional[List[jnp.ndarray]] = None,
+        *,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        if self.use_prev_coupled:
+            assert prev_up_h_convs is not None, "coupled stage needs previous up tower"
+        k = (self.filter_size, self.filter_size)
+        up_h_convs: List[Optional[jnp.ndarray]] = [None] * (self.scale_space_num - 1)
+        feats = self.act_feat_num
+        for layer in range(self.scale_space_num - 2, -1, -1):
+            skip = dw_h_convs[layer]
+            target_hw = (skip.shape[1], skip.shape[2])
+            y = DeconvBnLrnDrop(
+                features=feats,
+                kernel_size=k,
+                stride=self.pool_size,
+                activation=None,
+                dtype=self.dtype,
+                name=f"deconv_{layer}",
+            )(x, target_hw)
+            y = jnp.concatenate([skip, y], axis=-1)
+            y = ConvBnLrnDrop(
+                features=feats,
+                kernel_size=k,
+                activation=None,
+                dtype=self.dtype,
+                name=f"merge_conv_{layer}",
+            )(y, train=train)
+            y = MultiConvResidualBlock(
+                res_depth=self.res_depth,
+                filter_size=self.filter_size,
+                channels=feats,
+                activation=self.activation,
+                dtype=self.dtype,
+                name=f"res_block_{layer}",
+            )(y, train=train)
+            if self.use_prev_coupled:
+                y = jnp.concatenate([prev_up_h_convs[layer], y], axis=-1)
+                y = ConvBnLrnDrop(
+                    features=feats,
+                    kernel_size=(1, 1),
+                    activation=self.activation,
+                    dtype=self.dtype,
+                    name=f"couple_conv_{layer}",
+                )(y, train=train)
+            up_h_convs[layer] = y
+            x = y
+            feats //= self.pool_size
+        return x, up_h_convs  # type: ignore[return-value]
+
+
+class UNetBlock(nn.Module):
+    """One full U-Net stage: down tower + up tower (model/model.py:262-344)."""
+
+    scale_space_num: int
+    res_depth: int
+    feat_root: int
+    filter_size: int
+    pool_size: int
+    activation: str
+    use_prev_coupled: bool
+    attention_impl: str = "auto"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        prev_dw_h_convs: Optional[List[jnp.ndarray]] = None,
+        prev_up_h_convs: Optional[List[jnp.ndarray]] = None,
+        *,
+        train: bool = False,
+    ):
+        dw_h_convs, deepest = DownSamplingUNetBlock(
+            scale_space_num=self.scale_space_num,
+            res_depth=self.res_depth,
+            feat_root=self.feat_root,
+            filter_size=self.filter_size,
+            pool_size=self.pool_size,
+            activation=self.activation,
+            use_prev_coupled=self.use_prev_coupled,
+            attention_impl=self.attention_impl,
+            dtype=self.dtype,
+            name="down",
+        )(x, prev_dw_h_convs, train=train)
+        # features at the deepest up level = feat_root * pool**(S-2)
+        act_feat_num = self.feat_root * self.pool_size ** (self.scale_space_num - 2)
+        out, up_h_convs = UpSamplingUNetBlock(
+            scale_space_num=self.scale_space_num,
+            res_depth=self.res_depth,
+            filter_size=self.filter_size,
+            pool_size=self.pool_size,
+            activation=self.activation,
+            act_feat_num=act_feat_num,
+            use_prev_coupled=self.use_prev_coupled,
+            dtype=self.dtype,
+            name="up",
+        )(dw_h_convs, deepest, prev_up_h_convs, train=train)
+        return out, dw_h_convs, up_h_convs
+
+
+class MSAUNet(nn.Module):
+    """num_blocks coupled U-Net stages + per-stage 4x4 end convs.
+
+    Returns (logits, aux_logits); aux is stage-(num_blocks-2)'s output
+    (model/model.py:378-396).
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        cfg = self.config
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+        prev_dw = None
+        prev_up = None
+        logits_aux = None
+        out = x
+        block_cls = nn.remat(UNetBlock, static_argnums=()) if cfg.remat else UNetBlock
+        for block_id in range(cfg.num_blocks):
+            stage = block_cls(
+                scale_space_num=cfg.scale_space_num,
+                res_depth=cfg.res_depth,
+                feat_root=cfg.feat_root,
+                filter_size=cfg.filter_size,
+                pool_size=cfg.pool_size,
+                activation=cfg.activation_name,
+                use_prev_coupled=block_id > 0,
+                attention_impl=cfg.attention_impl,
+                dtype=dtype,
+                name=f"block_{block_id}",
+            )
+            out, prev_dw, prev_up = stage(out, prev_dw, prev_up, train=train)
+            out = ConvBnLrnDrop(
+                features=cfg.n_class,
+                kernel_size=(4, 4),
+                activation=None,
+                dtype=dtype,
+                name=f"end_conv_{block_id}",
+            )(out, train=train)
+            if block_id == cfg.num_blocks - 2:
+                logits_aux = out
+        logits = out.astype(jnp.float32)
+        if logits_aux is None:
+            logits_aux = logits
+        else:
+            logits_aux = logits_aux.astype(jnp.float32)
+        return logits, logits_aux
+
+
+class MSAUWrapper(nn.Module):
+    """Adds the final activation head (model/model.py:399-437).
+
+    __call__ returns (probs, logits, aux_logits) like the reference forward.
+    """
+
+    config: ModelConfig
+
+    def setup(self):
+        if self.config.model == "msau_box":
+            from msau_tpu.models.msau_box import BMSAUNet  # lazy: optional variant
+
+            self.net = BMSAUNet(self.config)
+        else:
+            self.net = MSAUNet(self.config)
+
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        logits, aux_logits = self.net(x, train=train)
+        final_act = self.config.final_act
+        if final_act == "softmax":
+            probs = jax.nn.softmax(logits, axis=-1)
+        elif final_act == "sigmoid":
+            probs = jax.nn.sigmoid(logits)
+        else:
+            probs = logits
+        return probs, logits, aux_logits
+
+
+def build_model(config: ModelConfig) -> MSAUWrapper:
+    return MSAUWrapper(config=config)

@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Must run before the first `import jax` anywhere in the test session —
+pytest imports conftest.py first, so setting the env here is sufficient.
+TPU-style multi-device sharding is then testable host-only
+(SURVEY.md §4: the TPU-less stand-in for ICI).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(777)
