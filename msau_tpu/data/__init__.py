@@ -1,0 +1,12 @@
+from msau_tpu.data.charset import Charset
+from msau_tpu.data.pages import Line, Page, load_funsd_page, load_label_json_page
+from msau_tpu.data import rasterize
+
+__all__ = [
+    "Charset",
+    "Line",
+    "Page",
+    "load_funsd_page",
+    "load_label_json_page",
+    "rasterize",
+]

@@ -1,0 +1,118 @@
+"""Losses and on-device accuracy.
+
+Two loss flavors exist in the reference and both are provided:
+
+* ``masked_cross_entropy`` — entry-A semantics (model/model.py:446-459):
+  mean CE over pixels where the integer label != 0, applied to both final
+  and auxiliary logits and summed.
+* ``unet_loss`` — entry-B semantics (model/training/cost.py:35-65): mean CE
+  over *all* pixels against (one-hot-argmax) targets,
+  0.5 * final + 0.5 * aux, plus non-background pixel accuracy — here
+  computed on device instead of via a host round-trip (cost.py:43-51).
+
+All math is float32 regardless of model compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Softmax cross-entropy per pixel; logits [..., C], labels int [...]."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+
+def nonzero_pixel_accuracy(
+    logits: jnp.ndarray, labels: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """sum(pred == label over label != 0) / sum(label != 0) — the reference
+    acceptance metric (model/training/cost.py:43-51)."""
+    pred = jnp.argmax(logits, axis=-1)
+    mask = labels != 0
+    if valid is not None:
+        mask = mask & valid
+    correct = jnp.sum(jnp.where(mask, pred == labels, False))
+    total = jnp.maximum(jnp.sum(mask), 1)
+    return correct / total
+
+
+def masked_cross_entropy(
+    logits: jnp.ndarray,
+    aux_logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Entry-A loss: CE over label != 0 pixels, final + aux.
+
+    labels: int32 [N, H, W]; 0 means background/ignore.  ``valid`` further
+    masks bucket padding (no reference analog — the reference has
+    data-dependent shapes).
+    """
+    mask = labels != 0
+    if valid is not None:
+        mask = mask & valid
+    denom = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+    ce = jnp.sum(jnp.where(mask, _per_pixel_ce(logits, labels), 0.0)) / denom
+    ce_aux = jnp.sum(jnp.where(mask, _per_pixel_ce(aux_logits, labels), 0.0)) / denom
+    loss = ce + ce_aux
+    metrics = {
+        "loss": loss,
+        "loss_final": ce,
+        "loss_aux": ce_aux,
+        "accuracy": nonzero_pixel_accuracy(logits, labels, valid),
+    }
+    return loss, metrics
+
+
+def unet_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    aux_logits: Optional[jnp.ndarray] = None,
+    aux_labels: Optional[jnp.ndarray] = None,
+    valid: Optional[jnp.ndarray] = None,
+    aux_weight: float = 0.5,
+    class_weights: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Entry-B loss: mean CE over all (valid) pixels, optional weighted
+    classes, 0.5/0.5 aux mixing (model/training/cost.py:52-61)."""
+    ce = _per_pixel_ce(logits, labels)
+    if class_weights is not None:
+        w = jnp.take(class_weights, labels)
+        ce = ce * w
+        denom_f = jnp.sum(w) if valid is None else jnp.sum(jnp.where(valid, w, 0.0))
+    else:
+        denom_f = (
+            jnp.asarray(ce.size, jnp.float32)
+            if valid is None
+            else jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+        )
+    if valid is not None:
+        ce = jnp.where(valid, ce, 0.0)
+    final_loss = jnp.sum(ce) / denom_f
+
+    if aux_logits is not None:
+        if aux_labels is None:
+            aux_labels = labels
+        ce_a = _per_pixel_ce(aux_logits, aux_labels)
+        if class_weights is not None:
+            ce_a = ce_a * jnp.take(class_weights, aux_labels)
+        if valid is not None:
+            ce_a = jnp.where(valid, ce_a, 0.0)
+        aux_loss = jnp.sum(ce_a) / denom_f
+        loss = (1.0 - aux_weight) * final_loss + aux_weight * aux_loss
+    else:
+        aux_loss = jnp.zeros(())
+        loss = final_loss
+
+    metrics = {
+        "loss": loss,
+        "loss_final": final_loss,
+        "loss_aux": aux_loss,
+        "accuracy": nonzero_pixel_accuracy(logits, labels, valid),
+    }
+    return loss, metrics
