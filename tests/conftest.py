@@ -8,7 +8,11 @@ TPU-style multi-device sharding is then testable host-only
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this sandbox pre-imports jax via sitecustomize with a TPU (axon)
+# backend registered, so env vars alone don't switch platforms — the
+# config update below does.  XLA_FLAGS must still be set before the CPU
+# client is instantiated (first jax op), which pytest guarantees here.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +21,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np
