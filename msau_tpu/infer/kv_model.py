@@ -1,0 +1,219 @@
+"""End-to-end KV inference model.
+
+The reference KVModel (inference/kv_model.py:15-387) rasterizes an OCR JSON
+on the host, runs the torch net, pulls the probability map back to the CPU
+and decodes fields with scipy/OpenCV.  Here rasterize → forward → morphology
+→ CCL → component/line reductions execute as jitted device programs (two
+compiled graphs: paint+forward+decode), and only the tiny per-class records
+cross to the host for string assembly.
+
+Charset convention at inference: file contents prefixed with ' ' and '$'
+(kv_model.py:47-49), blank index 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msau_tpu.config import InferConfig, ModelConfig
+from msau_tpu.data.charset import Charset
+from msau_tpu.data.pages import Line, Page, load_label_json_page
+from msau_tpu.data.rasterize import (
+    BoxProgram,
+    build_chargrid_programs,
+    paint_boxes,
+    pad_to_bucket,
+    round_up,
+)
+from msau_tpu.infer.decode import decode_fields_device, extract_values, FieldValue
+from msau_tpu.infer.schema import FieldSchema, post_process_kv
+from msau_tpu.models.msau import build_model
+
+INFER_SPECIALS = (" ", "$")
+
+
+class KVModel:
+    """Load → predict → run_test, mirroring the reference API surface."""
+
+    def __init__(
+        self,
+        model_config: Optional[ModelConfig] = None,
+        infer_config: Optional[InferConfig] = None,
+        schema: Optional[FieldSchema] = None,
+    ):
+        self.model_config = model_config
+        self.cfg = infer_config or InferConfig()
+        self.schema = schema or FieldSchema()
+        self.charset: Optional[Charset] = None
+        self.model = None
+        self.params = None
+        self.n_class = self.cfg.n_class
+
+    # ------------------------------------------------------------------
+    def load(
+        self,
+        model_weight: Optional[str] = None,
+        charset: Optional[str] = None,
+        n_class: Optional[int] = None,
+        params=None,
+        model_kwargs_path: Optional[str] = None,
+    ) -> "KVModel":
+        if charset is not None:
+            self.charset = Charset.from_file(charset, specials=INFER_SPECIALS)
+        if n_class is not None:
+            self.n_class = n_class
+        if model_kwargs_path is not None:
+            with open(model_kwargs_path) as f:
+                self.model_config = ModelConfig.from_model_kwargs(json.load(f))
+        if self.model_config is None:
+            assert self.charset is not None
+            self.model_config = ModelConfig(
+                img_channels=self.charset.n_token, n_class=self.n_class
+            )
+        self.model = build_model(self.model_config)
+        if params is not None:
+            self.params = params
+        elif model_weight is not None:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            # restore against abstract structure from a fresh init
+            sample = jnp.zeros((1, 64, 64, self.model_config.img_channels))
+            ref = self.model.init(jax.random.PRNGKey(0), sample)
+            restored = ckptr.restore(os.path.abspath(model_weight), ref)
+            self.params = restored
+        return self
+
+    # ------------------------------------------------------------------
+    def rasterize(self, page: Page, buckets: Sequence[int] = (256, 512, 1024)):
+        """KV-variant chargrid: digits normalized, box-filled line ids,
+        char-position plane (kv_model.py:83-148)."""
+        assert self.charset is not None
+        progs = build_chargrid_programs(
+            page,
+            self.charset,
+            scale_min=self.cfg.scale,
+            scale_max=self.cfg.scale,
+            normalize_digits=True,
+            char_w_cap_factor=1.2,
+            pad_factor_fixed=3.0,
+            label_style="box",
+        )
+        hb, wb = pad_to_bucket(progs.height, progs.width, buckets)
+        cap = round_up(max(len(progs.char.values), 1), 512)
+        char = progs.char.padded(cap)
+        lcap = round_up(max(len(progs.line_id.values), 1), 512)
+        lid = progs.line_id.padded(lcap)
+        cid = progs.char_id.padded(lcap)
+        ids = paint_boxes(jnp.asarray(char.boxes), jnp.asarray(char.values), hb, wb)
+        line_id = paint_boxes(jnp.asarray(lid.boxes), jnp.asarray(lid.values), hb, wb)
+        char_id = paint_boxes(jnp.asarray(cid.boxes), jnp.asarray(cid.values), hb, wb)
+        onehot = jax.nn.one_hot(ids, self.charset.n_token, dtype=jnp.float32)
+        # re-index scaled lines 1-based for decode bookkeeping
+        scaled = [
+            dataclasses.replace(l, id=i + 1) for i, l in enumerate(progs.scaled_lines)
+        ]
+        return onehot, line_id, char_id, scaled, progs
+
+    # ------------------------------------------------------------------
+    def predict(
+        self, data, label_path: Optional[str] = None, eval_results=None
+    ) -> Tuple[Dict[str, str], Dict]:
+        """data: a Page, or a path to a layout/OCR JSON, or (json_path, img)."""
+        if isinstance(data, tuple):
+            data = data[0]
+        page = data if isinstance(data, Page) else load_label_json_page(data)
+        x, line_id, char_id, scaled_lines, progs = self.rasterize(page)
+
+        _, logits, _ = jax.jit(self.model.apply)(self.params, x[None])
+        pred = jax.nn.softmax(logits[0], axis=-1)
+
+        num_lines = len(scaled_lines)
+        multiline = np.zeros((self.n_class,), bool)
+        for c in self.schema.multiple_lines_fields:
+            if c < self.n_class:
+                multiline[c] = True
+        dev = decode_fields_device(
+            pred,
+            line_id,
+            char_id,
+            jnp.asarray(multiline),
+            n_class=self.n_class,
+            num_lines=round_up(max(num_lines, 1), 128),
+            k=8,
+            min_area=self.cfg.min_component_area,
+            max_iters=self.cfg.max_ccl_iters,
+        )
+        host = {k: np.asarray(v) for k, v in dev.items() if k != "chosen"}
+        values = extract_values(host, scaled_lines, self.schema)
+        kv_results = post_process_kv(values, self.schema)
+
+        extras = {
+            "values": values,
+            "pred": pred,
+            "chosen": dev["chosen"],
+            "programs": progs,
+            "scaled_lines": scaled_lines,
+        }
+        if label_path is not None and eval_results is not None:
+            from msau_tpu.infer.evaluate import accumulate_field_eval, read_json_gt
+
+            offset = (
+                progs.extent[0] - progs.pad,
+                progs.extent[1] - progs.pad,
+            )
+            try:
+                correct = read_json_gt(label_path, scale=progs.scale, offset=offset)
+            except IOError:
+                correct = None
+            if correct is not None:
+                accumulate_field_eval(
+                    values, correct, eval_results, iou_threshold=self.cfg.iou_threshold
+                )
+        return kv_results, extras
+
+    # ------------------------------------------------------------------
+    def run_test(
+        self,
+        list_inf: Sequence[str],
+        out_dir: Optional[str] = None,
+        label_dir: Optional[str] = None,
+        img_dir: Optional[str] = None,
+    ):
+        """Folder sweep + aggregate P/R/F1 (kv_model.py:341-387)."""
+        eval_results = [
+            {"num_pred": 0, "num_correct": 0, "num_label": 0}
+            for _ in range(self.n_class)
+        ]
+        kv_results = []
+        for file_path in list_inf:
+            basename = os.path.basename(file_path).split(".")[0]
+            label_path = (
+                os.path.join(label_dir, basename + ".json") if label_dir else None
+            )
+            result, _ = self.predict(
+                file_path, label_path=label_path, eval_results=eval_results
+            )
+            kv_results.append(result)
+
+        summary = None
+        if label_dir is not None:
+            num_correct = sum(c["num_correct"] for c in eval_results)
+            num_label = sum(c["num_label"] for c in eval_results)
+            num_pred = sum(c["num_pred"] for c in eval_results)
+            recall = num_correct / num_label if num_label else 0.0
+            precision = num_correct / num_pred if num_pred else 0.0
+            f1 = (
+                2 * recall * precision / (recall + precision)
+                if (recall + precision)
+                else 0.0
+            )
+            summary = {"precision": precision, "recall": recall, "f1": f1}
+        return kv_results, eval_results, summary

@@ -1,0 +1,116 @@
+"""Morphology + CCL parity tests against scipy (the reference's backend)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from msau_tpu.ops import morphology as mm
+from msau_tpu.ops.ccl import connected_components_jax, component_stats, top_k_components
+
+scipy_ndimage = pytest.importorskip("scipy.ndimage")
+
+
+def rand_mask(rng, h=40, w=56, p=0.35):
+    return (rng.random((h, w)) < p)
+
+
+class TestMorphology:
+    @pytest.mark.parametrize("size", [(1, 3), (3, 3), (2, 4), 3])
+    def test_dilation_matches_scipy(self, rng, size):
+        img = rng.random((30, 41)).astype(np.float32)
+        want = scipy_ndimage.maximum_filter(img, size, mode="constant")
+        got = np.asarray(mm.r_dilation(jnp.asarray(img), size))
+        np.testing.assert_allclose(got, want)
+
+    @pytest.mark.parametrize("size", [(1, 3), (3, 3), (2, 4)])
+    def test_erosion_matches_scipy(self, rng, size):
+        img = rng.random((23, 37)).astype(np.float32)
+        want = scipy_ndimage.minimum_filter(img, size, mode="constant")
+        got = np.asarray(mm.r_erosion(jnp.asarray(img), size))
+        np.testing.assert_allclose(got, want)
+
+    def test_closing_bool_matches_reference_def(self, rng):
+        """r_closing = dilation then erosion, both origin 0 (morph_util.py:81-84)."""
+        img = rand_mask(rng)
+        want = scipy_ndimage.minimum_filter(
+            scipy_ndimage.maximum_filter(img, (1, 3), mode="constant"),
+            (1, 3),
+            mode="constant",
+        )
+        got = np.asarray(mm.r_closing(jnp.asarray(img), (1, 3)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_opening(self, rng):
+        img = rand_mask(rng)
+        want = scipy_ndimage.maximum_filter(
+            scipy_ndimage.minimum_filter(img, (3, 3), mode="constant"),
+            (3, 3),
+            mode="constant",
+        )
+        got = np.asarray(mm.r_opening(jnp.asarray(img), (3, 3)))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestCCL:
+    def _check_equivalent(self, mask):
+        """Same partition into components + same raster ordering as scipy."""
+        got = np.asarray(connected_components_jax(jnp.asarray(mask)))
+        want, n = scipy_ndimage.label(mask)  # 4-connectivity default
+        assert (got > 0).sum() == (want > 0).sum()
+        # bijection between label sets
+        pairs = set(zip(got[mask].tolist(), want[mask].tolist()))
+        assert len({g for g, _ in pairs}) == n
+        assert len({w for _, w in pairs}) == n
+        assert len(pairs) == n
+        # our roots sorted ascending = scipy label order (raster-first pixel)
+        order = sorted(pairs)
+        assert [w for _, w in order] == list(range(1, n + 1))
+
+    def test_random_masks(self, rng):
+        for p in (0.2, 0.45, 0.7):
+            self._check_equivalent(rand_mask(rng, 48, 64, p))
+
+    def test_spiral_component(self):
+        """A spiral needs multiple sweeps — exercises the while_loop."""
+        h = w = 21
+        mask = np.zeros((h, w), bool)
+        mask[0, :] = True
+        mask[:, -1] = True
+        mask[-1, :] = True
+        mask[2:, 0] = True
+        mask[2, 2 : w - 2] = True
+        mask[2 : h - 2, 2] = True
+        self._check_equivalent(mask)
+
+    def test_empty_and_full(self):
+        self._check_equivalent(np.zeros((8, 8), bool))
+        self._check_equivalent(np.ones((8, 8), bool))
+
+    def test_stats_match_find_objects(self, rng):
+        mask = rand_mask(rng, 32, 32, 0.4)
+        labels = np.asarray(connected_components_jax(jnp.asarray(mask)))
+        stats = {k: np.asarray(v) for k, v in component_stats(jnp.asarray(labels)).items()}
+        want_labels, n = scipy_ndimage.label(mask)
+        objects = scipy_ndimage.find_objects(want_labels)
+        roots = sorted(set(labels[mask].tolist()))
+        assert len(roots) == n
+        for scipy_id, root in enumerate(roots, start=1):
+            sl = objects[scipy_id - 1]
+            assert stats["y1"][root] == sl[0].start
+            assert stats["y2"][root] == sl[0].stop
+            assert stats["x1"][root] == sl[1].start
+            assert stats["x2"][root] == sl[1].stop
+            assert stats["count"][root] == (want_labels == scipy_id).sum()
+            assert stats["bbox_area"][root] == (
+                (sl[0].stop - sl[0].start) * (sl[1].stop - sl[1].start)
+            )
+
+    def test_top_k(self, rng):
+        mask = np.zeros((20, 20), bool)
+        mask[1:3, 1:10] = True    # bbox area 18
+        mask[6:12, 2:5] = True    # bbox area 18
+        mask[15:16, 15:16] = True # bbox area 1
+        labels = connected_components_jax(jnp.asarray(mask))
+        top = {k: np.asarray(v) for k, v in top_k_components(component_stats(labels), k=4).items()}
+        assert top["valid"].sum() == 3
+        assert list(top["bbox_area"][:3]) == [18, 18, 1]
