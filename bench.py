@@ -1,0 +1,93 @@
+"""Headline benchmark: training images/sec on 512x512 chargrids.
+
+Flagship config: full 3-block MSAU (featRoot=8, scale_space_num=4,
+res_depth=2), 64 input channels, 17-class KV head — the BASELINE.md
+"images/sec/chip (512² chargrid)" metric.
+
+Baseline: the torch reference (model/model.py MSAUWrapper + entry-A train
+step: forward + masked loss + backward + Adam step) measured empirically on
+this host, CPU, 8 threads, bs=1 — 0.1123 img/s (no published numbers exist;
+BASELINE.md).  vs_baseline = ours / reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_TRAIN_IMG_PER_S = 0.1123  # measured: /root/reference MSAUWrapper,
+                                    # 512x512 bs=1 fwd+loss+bwd+Adam, CPU x8
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from msau_tpu.config import ModelConfig, TrainConfig
+    from msau_tpu.models.msau import build_model
+    from msau_tpu.train.optimizer import make_optimizer
+    from msau_tpu.train.trainer import TrainState, make_train_step
+
+    cfg = ModelConfig(
+        img_channels=64,
+        n_class=17,
+        scale_space_num=4,
+        res_depth=2,
+        feat_root=8,
+        num_blocks=3,
+        final_act="softmax",
+        remat=True,   # fits bs=8 x 512^2 x 3 stages in 16G HBM
+    )
+    tcfg = TrainConfig(learning_rate=1e-4, lr_decay_staircase=False)
+    if tcfg.matmul_precision and jax.default_backend() != "cpu":
+        jax.config.update("jax_default_matmul_precision", tcfg.matmul_precision)
+
+    hw = 128 if quick else 512
+    bs = 2 if quick else 8
+
+    model = build_model(cfg)
+    optimizer = make_optimizer(tcfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((bs, hw, hw, cfg.img_channels)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, cfg.n_class, (bs, hw, hw)), jnp.int32)
+    batch = {"input": x, "label": y, "valid": jnp.ones((bs, hw, hw), bool)}
+
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    state = TrainState.create(params, optimizer)
+    step = make_train_step(model, optimizer, masked=True, donate=True)
+
+    # warmup/compile
+    state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+
+    # NOTE: on the axon remote backend block_until_ready can return before
+    # the dispatched chain executes (under-measuring by ~400x); an actual
+    # device->host transfer is the only reliable sync, so fetch a param
+    # element + the loss value to close the timing region.
+    iters = 3 if quick else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    _sync = (np.asarray(leaf).ravel()[0], float(metrics["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+    img_per_s = bs / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "train images/sec/chip (512^2 chargrid, 3-block MSAU)",
+                "value": round(img_per_s, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(img_per_s / REFERENCE_TRAIN_IMG_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,41 @@ from msau_tpu.models.layers import (
 Dtype = Any
 
 
+def _make_res_block(
+    variant: str,
+    channels: int,
+    res_depth: int,
+    filter_size: int,
+    activation: str,
+    dtype,
+    name: str,
+    box_cfg: Optional[dict] = None,
+):
+    """Residual block factory: dense convs (model.py:8-50) or box convs
+    (model_box.py:9-59)."""
+    if variant == "box":
+        from msau_tpu.models.msau_box import MultiBoxConvBlock
+
+        box_cfg = box_cfg or {}
+        return MultiBoxConvBlock(
+            channels=channels,
+            num_convs=box_cfg.get("num_box_convs", 3),
+            num_boxes=box_cfg.get("num_box_per_channel", 3),
+            max_box_size=box_cfg.get("max_box_size", 28),
+            activation=activation,
+            dtype=dtype,
+            name=name,
+        )
+    return MultiConvResidualBlock(
+        res_depth=res_depth,
+        filter_size=filter_size,
+        channels=channels,
+        activation=activation,
+        dtype=dtype,
+        name=name,
+    )
+
+
 class DownSamplingUNetBlock(nn.Module):
     """Down tower of one U-Net stage (reference model/model.py:53-164)."""
 
@@ -49,6 +84,8 @@ class DownSamplingUNetBlock(nn.Module):
     activation: str
     use_prev_coupled: bool
     attention_impl: str = "auto"
+    block_variant: str = "conv"
+    box_cfg: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -74,13 +111,15 @@ class DownSamplingUNetBlock(nn.Module):
                 dtype=self.dtype,
                 name=f"dil_conv_{layer}",
             )(x, train=train)
-            y = MultiConvResidualBlock(
-                res_depth=self.res_depth,
-                filter_size=self.filter_size,
-                channels=feats,
-                activation=self.activation,
-                dtype=self.dtype,
-                name=f"res_block_{layer}",
+            y = _make_res_block(
+                self.block_variant,
+                feats,
+                self.res_depth,
+                self.filter_size,
+                self.activation,
+                self.dtype,
+                f"res_block_{layer}",
+                self.box_cfg,
             )(y, train=train)
             if self.use_prev_coupled:
                 y = jnp.concatenate([prev_dw_h_convs[layer], y], axis=-1)
@@ -122,6 +161,8 @@ class UpSamplingUNetBlock(nn.Module):
     activation: str
     act_feat_num: int  # features at scale S-2 (deepest up level)
     use_prev_coupled: bool
+    block_variant: str = "conv"
+    box_cfg: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -157,13 +198,15 @@ class UpSamplingUNetBlock(nn.Module):
                 dtype=self.dtype,
                 name=f"merge_conv_{layer}",
             )(y, train=train)
-            y = MultiConvResidualBlock(
-                res_depth=self.res_depth,
-                filter_size=self.filter_size,
-                channels=feats,
-                activation=self.activation,
-                dtype=self.dtype,
-                name=f"res_block_{layer}",
+            y = _make_res_block(
+                self.block_variant,
+                feats,
+                self.res_depth,
+                self.filter_size,
+                self.activation,
+                self.dtype,
+                f"res_block_{layer}",
+                self.box_cfg,
             )(y, train=train)
             if self.use_prev_coupled:
                 y = jnp.concatenate([prev_up_h_convs[layer], y], axis=-1)
@@ -191,6 +234,8 @@ class UNetBlock(nn.Module):
     activation: str
     use_prev_coupled: bool
     attention_impl: str = "auto"
+    block_variant: str = "conv"
+    box_cfg: Optional[dict] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -211,6 +256,8 @@ class UNetBlock(nn.Module):
             activation=self.activation,
             use_prev_coupled=self.use_prev_coupled,
             attention_impl=self.attention_impl,
+            block_variant=self.block_variant,
+            box_cfg=self.box_cfg,
             dtype=self.dtype,
             name="down",
         )(x, prev_dw_h_convs, train=train)
@@ -224,6 +271,8 @@ class UNetBlock(nn.Module):
             activation=self.activation,
             act_feat_num=act_feat_num,
             use_prev_coupled=self.use_prev_coupled,
+            block_variant=self.block_variant,
+            box_cfg=self.box_cfg,
             dtype=self.dtype,
             name="up",
         )(dw_h_convs, deepest, prev_up_h_convs, train=train)
@@ -238,11 +287,17 @@ class MSAUNet(nn.Module):
     """
 
     config: ModelConfig
+    block_variant: str = "conv"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+        box_cfg = {
+            "num_box_convs": cfg.num_box_convs,
+            "num_box_per_channel": cfg.num_box_per_channel,
+            "max_box_size": cfg.max_box_size,
+        }
         prev_dw = None
         prev_up = None
         logits_aux = None
@@ -258,6 +313,8 @@ class MSAUNet(nn.Module):
                 activation=cfg.activation_name,
                 use_prev_coupled=block_id > 0,
                 attention_impl=cfg.attention_impl,
+                block_variant=self.block_variant,
+                box_cfg=box_cfg,
                 dtype=dtype,
                 name=f"block_{block_id}",
             )
