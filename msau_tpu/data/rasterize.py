@@ -219,68 +219,97 @@ def build_chargrid_programs(
     height = int(h * scale * v_scale)
     width = int(w * scale * h_scale)
 
-    char_b, char_v = [], []
-    sep_b, sep_v = [], []
-    lm_b, lm_v = [], []
-    lab_b, lab_v = [], []
-    lid_b, lid_v = [], []
-    cid_b, cid_v = [], []
-    scaled_lines: List[Line] = []
+    # scale all line boxes (vectorized), encode texts, then hand the hot
+    # per-char loop to the native core (msau_tpu/native, numpy fallback)
+    from msau_tpu.native import char_records
 
+    scaled_lines: List[Line] = []
+    sb = np.empty((len(lines), 4), np.int32)
+    ids_parts: List[np.ndarray] = []
+    offsets = np.zeros(len(lines) + 1, np.int32)
     for line_idx, line in enumerate(lines):
         x1, y1, x2, y2 = line.box
-        x1, y1, x2, y2 = x1 - min_x, y1 - min_y, x2 - min_x, y2 - min_y
-        x1 = int(x1 * scale * h_scale)
-        y1 = int(y1 * scale * v_scale)
-        x2 = int(x2 * scale * h_scale)
-        y2 = int(y2 * scale * v_scale)
+        x1 = int((x1 - min_x) * scale * h_scale)
+        y1 = int((y1 - min_y) * scale * v_scale)
+        x2 = int((x2 - min_x) * scale * h_scale)
+        y2 = int((y2 - min_y) * scale * v_scale)
+        sb[line_idx] = (x1, y1, x2, y2)
         scaled_lines.append(dataclasses.replace(line, box=(x1, y1, x2, y2)))
-
         text = line.text
         if normalize_digits:
             text = "".join("0" if c.isdigit() else c for c in text)
-        if len(text) == 0:
-            continue
+        ids = charset.encode(text)
+        if text_err > 0 and len(ids):
+            hit = rng.random(len(ids)) < text_err
+            ids = np.where(
+                hit, rng.integers(0, charset.n_token, len(ids)), ids
+            ).astype(np.int32)
+        ids_parts.append(ids)
+        offsets[line_idx + 1] = offsets[line_idx] + len(ids)
+    all_ids = (
+        np.concatenate(ids_parts).astype(np.int32)
+        if ids_parts
+        else np.zeros(0, np.int32)
+    )
 
-        if label_style == "underline":
-            # 1-px label underline + line mask (data_generator_funsd.py:368-371)
-            lab_b.append((y2 - 1, y2, x1, x2)); lab_v.append(line.label)
-            lm_b.append((y2, y2 + 1, x1, x2)); lm_v.append(1)
-        else:
-            # box-filled label + line-id planes (kv_model.py:136; text gen)
-            lab_b.append((y1, y2, x1, x2)); lab_v.append(line.label)
-            lid_b.append((y1, y2, x1, x2)); lid_v.append(line_idx + 1)
+    rec, rec_line, rec_pos = char_records(sb, offsets, all_ids, char_w_cap_factor)
+    char_prog = BoxProgram(rec[:, :4].copy(), rec[:, 4].copy())
 
-        char_full_w = max(1.0 * (x2 - x1) / len(text), 1.0)
-        char_w = max(0.9 * char_full_w, 1.0)
-        char_w = min(char_w, float(int((y2 - y1) * char_w_cap_factor)))
+    lens = np.diff(offsets)
+    has_text = lens > 0
+    lx1, ly1, lx2, ly2 = sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3]
+    labels_arr = np.asarray([l.label for l in lines], np.int32)
 
-        for idx, c in enumerate(text):
-            if text_err > 0 and rng.random() < text_err:
-                char_id = int(rng.integers(0, charset.n_token))
-            else:
-                char_id = charset.tok_to_id.get(c, charset.blank_idx)
-            offset = x1 + idx * char_full_w
-            start_x, end_x = int(offset), int(offset + char_w)
-            char_b.append((y1, y2, start_x, end_x)); char_v.append(char_id)
-            if label_style == "underline":
-                sep_b.append((y1, y2, end_x - 1, end_x)); sep_v.append(char_id)
-            else:
-                lid_b.append((y1, y2, start_x, end_x)); lid_v.append(line_idx + 1)
-                cid_b.append((y1, y2, start_x, end_x)); cid_v.append(idx + 1)
+    def prog_arr(b, v):
+        return BoxProgram(
+            np.asarray(b, np.int32).reshape(-1, 4), np.asarray(v, np.int32)
+        ).clipped(height, width)
 
-    def prog(b, v):
-        return BoxProgram.from_lists(b, v).clipped(height, width)
+    empty = BoxProgram.empty()
+    if label_style == "underline":
+        # 1-px label underline + line mask (data_generator_funsd.py:368-371)
+        lab = prog_arr(
+            np.stack([ly2 - 1, ly2, lx1, lx2], -1)[has_text], labels_arr[has_text]
+        )
+        lm = prog_arr(
+            np.stack([ly2, ly2 + 1, lx1, lx2], -1)[has_text],
+            np.ones(int(has_text.sum()), np.int32),
+        )
+        sep = BoxProgram(
+            np.stack([rec[:, 0], rec[:, 1], rec[:, 3] - 1, rec[:, 3]], -1),
+            rec[:, 4].copy(),
+        ).clipped(height, width)
+        lid = cid = empty
+    else:
+        # box-filled label + line-id planes (kv_model.py:136)
+        lab = prog_arr(
+            np.stack([ly1, ly2, lx1, lx2], -1)[has_text], labels_arr[has_text]
+        )
+        lm = sep = empty
+        # line_id plane interleaves each line's box fill with its char boxes
+        # (paint order matters across overlapping lines) — stable sort on
+        # (line, is_char, char_pos)
+        fill_boxes = np.stack([ly1, ly2, lx1, lx2], -1)[has_text]
+        fill_vals = (np.nonzero(has_text)[0] + 1).astype(np.int32)
+        lid_boxes = np.concatenate([fill_boxes, rec[:, :4]], 0)
+        lid_vals = np.concatenate([fill_vals, rec_line])
+        key_line = np.concatenate([fill_vals, rec_line])
+        key_char = np.concatenate(
+            [np.zeros(len(fill_vals), np.int64), rec_pos.astype(np.int64)]
+        )
+        order = np.lexsort((key_char, key_line))
+        lid = BoxProgram(lid_boxes[order], lid_vals[order]).clipped(height, width)
+        cid = BoxProgram(rec[:, :4].copy(), rec_pos.copy()).clipped(height, width)
 
     return ChargridPrograms(
         height=height,
         width=width,
-        char=prog(char_b, char_v),
-        char_sep=prog(sep_b, sep_v),
-        line_mask=prog(lm_b, lm_v),
-        label=prog(lab_b, lab_v),
-        line_id=prog(lid_b, lid_v),
-        char_id=prog(cid_b, cid_v),
+        char=char_prog.clipped(height, width),
+        char_sep=sep,
+        line_mask=lm,
+        label=lab,
+        line_id=lid,
+        char_id=cid,
         scaled_lines=scaled_lines,
         scale=scale,
         pad=pad,

@@ -1,0 +1,77 @@
+"""Pallas TPU kernel for box-program painting (rasterizer fast path).
+
+Same semantics as msau_tpu.data.rasterize.paint_boxes (sequential
+last-write-wins rectangles) but tiled for the TPU memory hierarchy: the
+output lives in VMEM row-tiles; each grid step walks the box list and
+writes only boxes intersecting its tile (`pl.when` culling), so the work
+per tile is O(boxes_touching_tile * tile_area) VPU selects instead of the
+XLA fallback's O(B * H * W).
+
+Char boxes of a document page are tiny (a few px), so with 128-row tiles
+nearly every box touches exactly one tile and total write traffic is
+~H*W + sum(box areas).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _paint_kernel(boxes_ref, values_ref, out_ref):
+    t = pl.program_id(0)
+    tile_h = out_ref.shape[0]
+    width = out_ref.shape[1]
+    row0 = t * tile_h
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1)
+    n_boxes = boxes_ref.shape[0]
+
+    def body(i, _):
+        y1 = boxes_ref[i, 0]
+        y2 = boxes_ref[i, 1]
+        x1 = boxes_ref[i, 2]
+        x2 = boxes_ref[i, 3]
+
+        @pl.when((y1 < row0 + tile_h) & (y2 > row0) & (x2 > x1))
+        def _():
+            mask = (rows >= y1) & (rows < y2) & (cols >= x1) & (cols < x2)
+            out_ref[:] = jnp.where(mask, values_ref[i], out_ref[:])
+
+        return 0
+
+    jax.lax.fori_loop(0, n_boxes, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "tile_h", "interpret")
+)
+def paint_boxes_pallas(
+    boxes: jnp.ndarray,    # [B, 4] int32 (y1, y2, x1, x2), clipped
+    values: jnp.ndarray,   # [B] int32
+    height: int,
+    width: int,
+    tile_h: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    assert height % tile_h == 0, f"height {height} % tile_h {tile_h} != 0"
+    grid = (height // tile_h,)
+    return pl.pallas_call(
+        _paint_kernel,
+        out_shape=jax.ShapeDtypeStruct((height, width), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes, whole array
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # values
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_h, width), lambda t: (t, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(boxes, values)
