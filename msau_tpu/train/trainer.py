@@ -172,6 +172,7 @@ class Trainer:
         batch_steps_per_epoch: Optional[int] = None,
         restore_path: Optional[str] = None,
         log_fn: Callable[[str], None] = print,
+        log_dir: Optional[str] = None,
     ) -> Dict[str, list]:
         """Queue-fed training with per-epoch validation, mirroring the
         reference Trainer.train contract (model/training/trainer.py:57-207)."""
@@ -180,6 +181,12 @@ class Trainer:
         if restore_path:
             self.restore(restore_path)
         assert self.state is not None, "call init_state() first"
+
+        metrics_logger = None
+        if log_dir:
+            from msau_tpu.utils.profiling import MetricsLogger
+
+            metrics_logger = MetricsLogger(log_dir)
 
         history = {"train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}
         best_val = float("inf")
@@ -207,6 +214,12 @@ class Trainer:
                 f"TRAIN epoch {epoch + 1}: loss={train_loss:.6f} "
                 f"acc={train_acc:.6f} time={time.time() - t0:.2f}s"
             )
+            if metrics_logger:
+                metrics_logger.log(
+                    int(self.state.step),
+                    {"train/loss": train_loss, "train/accuracy": train_acc,
+                     "epoch": epoch + 1},
+                )
 
             # validation sweep
             val_size = getattr(data_provider, "size_val", 0)
@@ -229,6 +242,11 @@ class Trainer:
                     log_fn(
                         f"VAL   epoch {epoch + 1}: loss={val_loss:.6f} acc={val_acc:.6f}"
                     )
+                    if metrics_logger:
+                        metrics_logger.log(
+                            int(self.state.step),
+                            {"val/loss": val_loss, "val/accuracy": val_acc},
+                        )
                     if output_path and (
                         val_loss < best_val
                         or (epoch + 1) % self.cfg.checkpoint_every_epochs == 0
@@ -237,6 +255,8 @@ class Trainer:
                         self.save(os.path.join(output_path, f"model{epoch + 1}"))
             elif output_path and (epoch + 1) % self.cfg.checkpoint_every_epochs == 0:
                 self.save(os.path.join(output_path, f"model{epoch + 1}"))
+        if metrics_logger:
+            metrics_logger.close()
         return history
 
     # ------------------------------------------------------------------
