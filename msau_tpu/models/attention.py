@@ -135,11 +135,17 @@ class SelfAttentionBlock(nn.Module):
         out_h = proj(features=c, name="h")(x).reshape(n, hh * ww, c)
 
         t = hh * ww
-        use_pallas = self.impl == "pallas" or (
+        use_blockwise = self.impl == "pallas" or (
             self.impl == "auto" and t >= _PALLAS_MIN_TOKENS
         )
-        if use_pallas:
-            o = self_attention_pallas(out_f, out_g, out_h)
+        if use_blockwise:
+            on_tpu = jax.default_backend() not in ("cpu",)
+            if on_tpu and t % 256 == 0:
+                from msau_tpu.ops.pallas_attn import fused_attention
+
+                o = fused_attention(out_f, out_g, out_h)
+            else:
+                o = self_attention_pallas(out_f, out_g, out_h)
         else:
             o = self_attention_xla(out_f, out_g, out_h)
         return o.reshape(n, hh, ww, c) + x

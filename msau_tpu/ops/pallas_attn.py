@@ -1,0 +1,135 @@
+"""Fused Pallas attention for the MSAU deepest-scale block.
+
+Reference semantics (model/layers/attention.py:152-162): with flattened
+spatial tokens, A = softmax_rows(g @ f^T) and out = A^T @ h — softmax over
+the *output* axis, accumulation over the *input* axis (note the transpose
+versus standard attention).
+
+Because the softmax normalizer of row i needs the whole row, the kernel
+runs two passes, both blockwise in VMEM (the T x T score matrix never
+touches HBM):
+
+  1. ``_stats_kernel``   — per i-block, stream j-blocks of f computing the
+     online (max, sum-exp) of s[i, :].
+  2. ``_accum_kernel``   — per j-block, stream i-blocks accumulating
+     exp(s_ij - m_i)/l_i * h_i into out[j].
+
+All matmuls hit the MXU with f32 accumulation.  Block sizes default to
+(256, 256) — T is a multiple of 256 for every power-of-two chargrid the
+model produces at its deepest scale (512²/S=4 → 4096, 1024²/S=4 → 16384).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _stats_kernel(g_ref, f_ref, m_ref, l_ref):
+    """Grid: (num_i_blocks,). g block [Bi, Cb]; f full [T, Cb] in VMEM."""
+    bi, cb = g_ref.shape
+    t = f_ref.shape[0]
+    bj = bi  # use square blocks for the streamed axis
+    g = g_ref[:]
+
+    def body(j, carry):
+        m, l = carry
+        fj = f_ref[pl.ds(j * bj, bj), :]
+        s = jax.lax.dot_general(
+            g, fj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Bi, Bj]
+        mj = jnp.max(s, axis=1)
+        m_new = jnp.maximum(m, mj)
+        l = l * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(s - m_new[:, None]), axis=1
+        )
+        return m_new, l
+
+    m0 = jnp.full((bi,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bi,), jnp.float32)
+    m, l = jax.lax.fori_loop(0, t // bj, body, (m0, l0))
+    m_ref[:] = m[:, None]
+    l_ref[:] = l[:, None]
+
+
+def _accum_kernel(g_ref, f_ref, h_ref, m_ref, l_ref, o_ref):
+    """Grid: (num_j_blocks,). f block [Bj, Cb]; g/h/m/l full in VMEM."""
+    bj = f_ref.shape[0]
+    t, c = h_ref.shape
+    bi = bj
+    fj = f_ref[:]
+
+    def body(i, acc):
+        gi = g_ref[pl.ds(i * bi, bi), :]
+        hi = h_ref[pl.ds(i * bi, bi), :]
+        mi = m_ref[pl.ds(i * bi, bi), :]          # [Bi, 1]
+        li = l_ref[pl.ds(i * bi, bi), :]
+        s = jax.lax.dot_general(
+            gi, fj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Bi, Bj]
+        p = jnp.exp(s - mi) / li
+        return acc + jax.lax.dot_general(
+            p, hi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Bj, C]
+
+    acc0 = jnp.zeros((bj, c), jnp.float32)
+    o_ref[:] = jax.lax.fori_loop(0, t // bi, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def fused_attention(
+    f: jnp.ndarray,  # [N, T, Cb]
+    g: jnp.ndarray,  # [N, T, Cb]
+    h: jnp.ndarray,  # [N, T, C]
+    block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n, t, cb = f.shape
+    c = h.shape[-1]
+    assert t % block == 0, f"T={t} must be a multiple of block={block}"
+    nb = t // block
+
+    def single(fb, gb, hb):
+        m, l = pl.pallas_call(
+            _stats_kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((block, cb), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t, 1), jnp.float32),
+                jax.ShapeDtypeStruct((t, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gb, fb)
+        out = pl.pallas_call(
+            _accum_kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # g full
+                pl.BlockSpec((block, cb), lambda j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # h full
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # m full
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # l full
+            ],
+            out_specs=pl.BlockSpec(
+                (block, c), lambda j: (j, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
+            interpret=interpret,
+        )(gb, fb, hb, m, l)
+        return out
+
+    return jax.vmap(single)(f, g, h)

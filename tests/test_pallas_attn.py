@@ -1,0 +1,31 @@
+"""Fused Pallas attention parity with the XLA einsum path (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from msau_tpu.models.attention import self_attention_xla
+from msau_tpu.ops.pallas_attn import fused_attention
+
+
+class TestFusedAttention:
+    @pytest.mark.parametrize("t,cb,c", [(512, 8, 64), (256, 4, 16)])
+    def test_matches_xla(self, rng, t, cb, c):
+        n = 2
+        f = jnp.asarray(rng.standard_normal((n, t, cb)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((n, t, cb)), jnp.float32)
+        h = jnp.asarray(rng.standard_normal((n, t, c)), jnp.float32)
+        want = np.asarray(self_attention_xla(f, g, h))
+        got = np.asarray(fused_attention(f, g, h, block=256, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_large_logits_stable(self, rng):
+        """Online softmax must survive large score magnitudes."""
+        n, t, cb, c = 1, 256, 4, 8
+        f = jnp.asarray(rng.standard_normal((n, t, cb)) * 30, jnp.float32)
+        g = jnp.asarray(rng.standard_normal((n, t, cb)) * 30, jnp.float32)
+        h = jnp.asarray(rng.standard_normal((n, t, c)), jnp.float32)
+        got = np.asarray(fused_attention(f, g, h, block=256, interpret=True))
+        assert np.isfinite(got).all()
+        want = np.asarray(self_attention_xla(f, g, h))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
