@@ -5,10 +5,13 @@ ms/step + img/s for each variant.  Run on the real chip:
     python scripts/perf_scan.py [--quick]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def time_step(cfg_kwargs, bs=8, hw=512, iters=8, precision="BF16_BF16_F32_X3",
