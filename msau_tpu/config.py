@@ -35,6 +35,8 @@ class ModelConfig:
     final_act: str = "softmax"         # "softmax" | "sigmoid" | "identity"
     num_blocks: int = 3                # number of coupled U-Net stages
     use_auxiliary_loss: bool = True
+    use_lstm: bool = False             # separable RNN at the bottleneck
+    use_spn: bool = False              # CSPN refinement on the last stage
     # --- box-convolution variant (reference model/model_box.py:360-406) ---
     num_box_convs: int = 3
     max_box_size: int = 28

@@ -256,6 +256,7 @@ class DownSampleResNet(nn.Module):
     res_depth: int = 3
     pool_size: int = 2
     activation: str = "relu"
+    aux_stride: int = 2     # reference uses stride 2 (layers.py:193-194)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -277,6 +278,7 @@ class DownSampleResNet(nn.Module):
             padding="SAME",
         )
         x = ConvBnLrnDrop(
-            self.channel_out, (4, 4), strides=(2, 2), activation="relu", dtype=self.dtype
+            self.channel_out, (4, 4), strides=(self.aux_stride, self.aux_stride),
+            activation="relu", dtype=self.dtype,
         )(x, train=train)
         return x

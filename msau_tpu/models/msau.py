@@ -236,6 +236,8 @@ class UNetBlock(nn.Module):
     attention_impl: str = "auto"
     block_variant: str = "conv"
     box_cfg: Optional[dict] = None
+    use_lstm: bool = False
+    use_spn: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -261,6 +263,36 @@ class UNetBlock(nn.Module):
             dtype=self.dtype,
             name="down",
         )(x, prev_dw_h_convs, train=train)
+        # optional bottleneck refinements (reference model/model.py:328-344)
+        if self.use_lstm:
+            from msau_tpu.models.extras import SeparableRNNBlock
+
+            deepest = SeparableRNNBlock(
+                features=deepest.shape[-1], identity=False, dtype=self.dtype,
+                name="lstm",
+            )(deepest)
+        if self.use_spn:
+            from msau_tpu.models.extras import affinity_propagate
+            from msau_tpu.models.layers import DownSampleResNet
+
+            guidance = DownSampleResNet(
+                channel_in=dw_h_convs[self.scale_space_num - 2].shape[-1],
+                channel_out=8,
+                filter_size=self.filter_size,
+                res_depth=self.res_depth,
+                pool_size=self.pool_size,
+                activation=self.activation,
+                aux_stride=1,  # keep guidance at the deepest-map resolution
+                dtype=self.dtype,
+                name="spn_guidance",
+            )(dw_h_convs[self.scale_space_num - 2], train=train)
+            # guidance spatial dims must match the deepest map; crop/pad
+            gh, gw = deepest.shape[1], deepest.shape[2]
+            guidance = guidance[:, :gh, :gw, :]
+            refined = affinity_propagate(
+                guidance, jnp.mean(deepest, axis=-1, keepdims=True)
+            )
+            deepest = deepest + refined  # residual refinement
         # features at the deepest up level = feat_root * pool**(S-2)
         act_feat_num = self.feat_root * self.pool_size ** (self.scale_space_num - 2)
         out, up_h_convs = UpSamplingUNetBlock(
@@ -315,6 +347,9 @@ class MSAUNet(nn.Module):
                 attention_impl=cfg.attention_impl,
                 block_variant=self.block_variant,
                 box_cfg=box_cfg,
+                use_lstm=cfg.use_lstm,
+                # SPN only on the last stage (model/model.py:365-368)
+                use_spn=cfg.use_spn and block_id == cfg.num_blocks - 1,
                 dtype=dtype,
                 name=f"block_{block_id}",
             )
