@@ -43,7 +43,8 @@ def _stats_kernel(g_ref, f_ref, m_ref, l_ref):
         m, l = carry
         fj = f_ref[pl.ds(j * bj, bj), :]
         s = jax.lax.dot_general(
-            g, fj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            g, fj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [Bi, Bj]
         mj = jnp.max(s, axis=1)
         m_new = jnp.maximum(m, mj)
@@ -72,11 +73,13 @@ def _accum_kernel(g_ref, f_ref, h_ref, m_ref, l_ref, o_ref):
         mi = m_ref[pl.ds(i * bi, bi), :]          # [Bi, 1]
         li = l_ref[pl.ds(i * bi, bi), :]
         s = jax.lax.dot_general(
-            gi, fj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            gi, fj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [Bi, Bj]
         p = jnp.exp(s - mi) / li
         return acc + jax.lax.dot_general(
-            p, hi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, hi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [Bj, C]
 
     acc0 = jnp.zeros((bj, c), jnp.float32)
