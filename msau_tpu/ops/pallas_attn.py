@@ -86,14 +86,7 @@ def _accum_kernel(g_ref, f_ref, h_ref, m_ref, l_ref, o_ref):
     o_ref[:] = jax.lax.fori_loop(0, t // bi, body, acc0)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def fused_attention(
-    f: jnp.ndarray,  # [N, T, Cb]
-    g: jnp.ndarray,  # [N, T, Cb]
-    h: jnp.ndarray,  # [N, T, C]
-    block: int = 256,
-    interpret: bool = False,
-) -> jnp.ndarray:
+def _fused_forward(f, g, h, block, interpret):
     n, t, cb = f.shape
     c = h.shape[-1]
     assert t % block == 0, f"T={t} must be a multiple of block={block}"
@@ -133,6 +126,79 @@ def fused_attention(
             out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
             interpret=interpret,
         )(gb, fb, hb, m, l)
-        return out
+        return out, m, l
 
     return jax.vmap(single)(f, g, h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_attention_vjp(f, g, h, block, interpret):
+    out, _, _ = _fused_forward(f, g, h, block, interpret)
+    return out
+
+
+def fused_attention(
+    f: jnp.ndarray,  # [N, T, Cb]
+    g: jnp.ndarray,  # [N, T, Cb]
+    h: jnp.ndarray,  # [N, T, C]
+    block: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    return _fused_attention_vjp(f, g, h, block, interpret)
+
+
+def _fused_fwd(f, g, h, block, interpret):
+    out, m, l = _fused_forward(f, g, h, block, interpret)
+    return out, (f, g, h, m[..., 0], l[..., 0])
+
+
+def _fused_bwd(block, interpret, res, dout):
+    """Memory-bounded backward using the saved softmax stats.
+
+    With s = g f^T, A = softmax_rows(s), out = A^T h:
+      dh_i = sum_j A_ij dout_j
+      rho_i = h_i . dh_i
+      ds_ij = A_ij (h_i . dout_j - rho_i)
+      dg_i = sum_j ds_ij f_j ;  df_j = sum_i ds_ij g_i
+    j-blocks are streamed with lax.map; the T x T matrix never materializes.
+    """
+    f, g, h, m, l = res
+    n, t, cb = f.shape
+    c = h.shape[-1]
+    bj = block
+    nb = t // bj
+    j_starts = jnp.arange(nb) * bj
+    inv_l = 1.0 / l
+
+    def a_block(j0):
+        fj = jax.lax.dynamic_slice_in_dim(f, j0, bj, axis=1)
+        s = jnp.einsum("nic,njc->nij", g, fj)
+        return jnp.exp(s - m[..., None]) * inv_l[..., None]  # [N, T, Bj]
+
+    # pass 1: dh = A @ dout
+    def dh_step(carry, j0):
+        a = a_block(j0)
+        doj = jax.lax.dynamic_slice_in_dim(dout, j0, bj, axis=1)
+        return carry + jnp.einsum("nij,njc->nic", a, doj), None
+
+    dh, _ = jax.lax.scan(dh_step, jnp.zeros_like(h), j_starts)
+    rho = jnp.sum(h * dh, axis=-1)  # [N, T]
+
+    # pass 2: dg accumulation + df blocks
+    def dfdg_step(carry, j0):
+        dg_acc = carry
+        a = a_block(j0)
+        doj = jax.lax.dynamic_slice_in_dim(dout, j0, bj, axis=1)
+        u = jnp.einsum("nic,njc->nij", h, doj)
+        ds = a * (u - rho[..., None])           # [N, T, Bj]
+        fj = jax.lax.dynamic_slice_in_dim(f, j0, bj, axis=1)
+        dg_acc = dg_acc + jnp.einsum("nij,njc->nic", ds, fj)
+        df_j = jnp.einsum("nij,nic->njc", ds, g)
+        return dg_acc, df_j
+
+    dg, df_blocks = jax.lax.scan(dfdg_step, jnp.zeros_like(g), j_starts)
+    df = jnp.moveaxis(df_blocks, 0, 1).reshape(n, t, cb)
+    return df, dg, dh
+
+
+_fused_attention_vjp.defvjp(_fused_fwd, _fused_bwd)

@@ -19,6 +19,29 @@ class TestFusedAttention:
         got = np.asarray(fused_attention(f, g, h, block=256, interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
+    def test_gradients_match_xla(self, rng):
+        """Custom VJP vs autodiff through the einsum reference."""
+        import jax
+
+        n, t, cb, c = 1, 512, 4, 8
+        f = jnp.asarray(rng.standard_normal((n, t, cb)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((n, t, cb)), jnp.float32)
+        h = jnp.asarray(rng.standard_normal((n, t, c)), jnp.float32)
+
+        def loss_fused(f, g, h):
+            return jnp.sum(fused_attention(f, g, h, block=256, interpret=True) ** 2)
+
+        def loss_xla(f, g, h):
+            return jnp.sum(self_attention_xla(f, g, h) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(f, g, h)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(f, g, h)
+        for a, b, name in zip(gf, gx, "fgh"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+                err_msg=f"grad d{name}",
+            )
+
     def test_large_logits_stable(self, rng):
         """Online softmax must survive large score magnitudes."""
         n, t, cb, c = 1, 256, 4, 8
