@@ -180,6 +180,52 @@ class KVModel:
         return kv_results, extras
 
     # ------------------------------------------------------------------
+    def predict_batch(self, pages: Sequence, buckets=(256, 512, 1024)):
+        """Batched serving path: rasterize every page, group by bucket
+        shape, run one forward+decode per group (one compiled graph per
+        bucket), and assemble strings per page.
+
+        Returns a list of (kv_results, values) in input order.
+        """
+        import collections
+
+        prepared = []
+        for i, page in enumerate(pages):
+            if not isinstance(page, Page):
+                page = load_label_json_page(page)
+            x, line_id, char_id, scaled, progs = self.rasterize(page, buckets)
+            prepared.append((i, x, line_id, char_id, scaled))
+        groups = collections.defaultdict(list)
+        for item in prepared:
+            groups[item[1].shape].append(item)
+
+        multiline = np.zeros((self.n_class,), bool)
+        for c in self.schema.multiple_lines_fields:
+            if c < self.n_class:
+                multiline[c] = True
+        ml = jnp.asarray(multiline)
+
+        results: List = [None] * len(pages)
+        apply_fn = jax.jit(self.model.apply)
+        for shape, items in groups.items():
+            xb = jnp.stack([it[1] for it in items])
+            _, logits, _ = apply_fn(self.params, xb)
+            preds = jax.nn.softmax(logits, axis=-1)
+            for (i, _, line_id, char_id, scaled), pred in zip(items, preds):
+                dev = decode_fields_device(
+                    pred, line_id, char_id, ml,
+                    n_class=self.n_class,
+                    num_lines=round_up(max(len(scaled), 1), 128),
+                    k=8,
+                    min_area=self.cfg.min_component_area,
+                    max_iters=self.cfg.max_ccl_iters,
+                )
+                host = {k: np.asarray(v) for k, v in dev.items() if k != "chosen"}
+                values = extract_values(host, scaled, self.schema)
+                results[i] = (post_process_kv(values, self.schema), values)
+        return results
+
+    # ------------------------------------------------------------------
     def run_test(
         self,
         list_inf: Sequence[str],

@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument("--train_ratio", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--model_kwargs_path", default=None)
+    p.add_argument(
+        "--features", default="chargrid", choices=["chargrid", "bert", "bow"],
+        help="input grid: per-char one-hot (chargrid), or per-cell BERT/BOW "
+             "feature boxes (data_generator_funsd_bert.py variants)",
+    )
     p.add_argument("--eval_every", type=int, default=1)
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--max_eval_examples", type=int, default=100)
@@ -70,15 +75,32 @@ def main(argv=None):
     print(f"train {len(tr_idx)} / val {len(val_idx)} / test {len(test_ex)}")
 
     # rasterize once (grids are deterministic in the word-grid path)
+    def featurize(ex):
+        if args.features == "chargrid":
+            return wg.rasterize_wordgrid(ex, charset)
+        from msau_tpu.data import featgrid as fgd
+
+        if args.features == "bow":
+            feats, _ = wg.bow_features(ex.line_texts)
+        else:
+            feats = wg.sentence_embedding_features(ex.line_texts)
+        return fgd.rasterize_feature_example(ex, feats, style="box")
+
     def make_batches(indices, examples):
         out = []
         for i in indices:
             ex = examples[i] if isinstance(i, int) else i
-            g = wg.rasterize_wordgrid(ex, charset)
+            g = featurize(ex)
             out.append({k: v[None] for k, v in g.items()})
         return out
 
     train_batches = make_batches(tr_idx, train_ex)
+    # non-chargrid features change the input width; fix up the model config
+    feat_dim = train_batches[0]["input"].shape[-1]
+    if mc.img_channels != feat_dim:
+        import dataclasses
+
+        mc = dataclasses.replace(mc, img_channels=feat_dim)
     val_batches = make_batches(val_idx, train_ex)
     test_batches = make_batches(list(test_ex), None) if test_ex else []
 

@@ -83,3 +83,12 @@ class TestKVModel:
         page = load_label_json_page(FIXTURE)
         results, _ = kv.predict(page)
         assert isinstance(results, dict)
+
+    def test_predict_batch_matches_single(self, charset_file):
+        kv = make_kv_model(charset_file)
+        page = load_label_json_page(FIXTURE)
+        single, _ = kv.predict(page)
+        batched = kv.predict_batch([page, page])
+        assert len(batched) == 2
+        for res, _values in batched:
+            assert res == single
