@@ -37,6 +37,8 @@ class ModelConfig:
     use_auxiliary_loss: bool = True
     use_lstm: bool = False             # separable RNN at the bottleneck
     use_spn: bool = False              # CSPN refinement on the last stage
+    use_lrn: bool = True               # LRN after dilated convs (reference
+                                       # default, model/layers/layers.py:108)
     # --- box-convolution variant (reference model/model_box.py:360-406) ---
     num_box_convs: int = 3
     max_box_size: int = 28

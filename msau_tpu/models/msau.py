@@ -86,6 +86,7 @@ class DownSamplingUNetBlock(nn.Module):
     attention_impl: str = "auto"
     block_variant: str = "conv"
     box_cfg: Optional[dict] = None
+    use_lrn: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -107,7 +108,7 @@ class DownSamplingUNetBlock(nn.Module):
                 kernel_size=k,
                 rate=self.pool_size ** layer,
                 activation=None,
-                use_lrn=True,
+                use_lrn=self.use_lrn,
                 dtype=self.dtype,
                 name=f"dil_conv_{layer}",
             )(x, train=train)
@@ -238,6 +239,7 @@ class UNetBlock(nn.Module):
     box_cfg: Optional[dict] = None
     use_lstm: bool = False
     use_spn: bool = False
+    use_lrn: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -260,6 +262,7 @@ class UNetBlock(nn.Module):
             attention_impl=self.attention_impl,
             block_variant=self.block_variant,
             box_cfg=self.box_cfg,
+            use_lrn=self.use_lrn,
             dtype=self.dtype,
             name="down",
         )(x, prev_dw_h_convs, train=train)
@@ -348,6 +351,7 @@ class MSAUNet(nn.Module):
                 block_variant=self.block_variant,
                 box_cfg=box_cfg,
                 use_lstm=cfg.use_lstm,
+                use_lrn=cfg.use_lrn,
                 # SPN only on the last stage (model/model.py:365-368)
                 use_spn=cfg.use_spn and block_id == cfg.num_blocks - 1,
                 dtype=dtype,

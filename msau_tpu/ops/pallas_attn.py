@@ -87,6 +87,10 @@ def _accum_kernel(g_ref, f_ref, h_ref, m_ref, l_ref, o_ref):
 
 
 def _fused_forward(f, g, h, block, interpret):
+    # kernels accumulate in f32; bf16 inputs are upcast at entry
+    f = f.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    h = h.astype(jnp.float32)
     n, t, cb = f.shape
     c = h.shape[-1]
     assert t % block == 0, f"T={t} must be a multiple of block={block}"

@@ -35,13 +35,14 @@ def time_step(cfg_kwargs, bs=8, hw=512, iters=8, precision="BF16_BF16_F32_X3",
     params = model.init(jax.random.PRNGKey(0), x[:1])
 
     if forward_only:
-        fwd = jax.jit(lambda p, xx: model.apply(p, xx)[1])
+        # reduce on device so the sync fetch is O(1) bytes, not the logits
+        fwd = jax.jit(lambda p, xx: jnp.sum(model.apply(p, xx)[1]))
         out = fwd(params, x)
-        _ = np.asarray(out).ravel()[0]
+        _ = float(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fwd(params, x)
-        _ = np.asarray(out).ravel()[0]
+        _ = float(out)
         dt = (time.perf_counter() - t0) / iters
         return dt
 
@@ -68,11 +69,12 @@ def main():
     variants = [
         ("baseline(remat,3blk,fr8)", dict(BASE)),
         ("no-remat", dict(BASE, remat=False)),
+        ("no-lrn", dict(BASE, use_lrn=False, remat=False)),
+        ("bf16-compute", dict(BASE, dtype="bfloat16", remat=False)),
+        ("bf16-no-lrn", dict(BASE, dtype="bfloat16", use_lrn=False, remat=False)),
         ("1-block", dict(BASE, num_blocks=1)),
         ("2-block", dict(BASE, num_blocks=2)),
         ("attention-xla", dict(BASE, attention_impl="xla")),
-        ("featroot-32", dict(BASE, feat_root=32)),
-        ("bf16-compute", dict(BASE, dtype="bfloat16")),
     ]
     results = {}
     for name, kw in variants:
