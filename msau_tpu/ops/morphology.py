@@ -78,3 +78,97 @@ def r_opening(image: jnp.ndarray, size: Size2) -> jnp.ndarray:
 
 def r_closing(image: jnp.ndarray, size: Size2) -> jnp.ndarray:
     return r_erosion(r_dilation(image, size), size)
+
+
+# ---------------------------------------------------------------------------
+# skeletonization + map upscaling (inference/morph_util.py:217-241)
+# ---------------------------------------------------------------------------
+def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Zero-padded 2-D shift."""
+    h, w = x.shape
+    return jnp.roll(
+        jnp.pad(x, 1), (dy, dx), axis=(0, 1)
+    )[1 : h + 1, 1 : w + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def skeletonize(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
+    """Zhang-Suen thinning on a boolean [H, W] mask — the on-device analog
+    of skimage.morphology.skeletonize used by the reference ``skelet``
+    (morph_util.py:217-231).  Same 1-px medial output family, not
+    bit-identical to skimage's lookup-table variant."""
+    img = mask.astype(jnp.float32)
+
+    def neighbors(p):
+        # P2..P9 clockwise from north
+        return (
+            _shift(p, 1, 0), _shift(p, 1, -1), _shift(p, 0, -1),
+            _shift(p, -1, -1), _shift(p, -1, 0), _shift(p, -1, 1),
+            _shift(p, 0, 1), _shift(p, 1, 1),
+        )
+
+    def subiter(p, phase):
+        p2, p3, p4, p5, p6, p7, p8, p9 = neighbors(p)
+        ring = [p2, p3, p4, p5, p6, p7, p8, p9, p2]
+        b = sum(ring[:-1])
+        a = sum(
+            jnp.logical_and(ring[i] < 0.5, ring[i + 1] > 0.5).astype(jnp.float32)
+            for i in range(8)
+        )
+        cond_b = (b >= 2) & (b <= 6)
+        cond_a = a == 1
+        if phase == 0:
+            c1 = p2 * p4 * p6 == 0
+            c2 = p4 * p6 * p8 == 0
+        else:
+            c1 = p2 * p4 * p8 == 0
+            c2 = p2 * p6 * p8 == 0
+        remove = (p > 0.5) & cond_a & cond_b & c1 & c2
+        return jnp.where(remove, 0.0, p)
+
+    def body(state):
+        p, _, it = state
+        p1 = subiter(p, 0)
+        p2 = subiter(p1, 1)
+        return p2, jnp.any(p2 != p), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    out, _, _ = jax.lax.while_loop(cond, body, (img, jnp.asarray(True), 0))
+    return out > 0.5
+
+
+def skelet(
+    img: jnp.ndarray,
+    thres: float = 150,
+    expand: bool = False,
+    expand_horizontal: bool = True,
+    iters: int = 1,
+    max_thin_iters: int = 64,
+) -> jnp.ndarray:
+    """threshold → skeletonize → dilate (morph_util.py:217-231)."""
+    mask = img > thres
+    sk = skeletonize(mask, max_iters=max_thin_iters)
+    out = r_dilation(sk, (1 + 2 * iters, 1 + 2 * iters))
+    if expand:
+        pad = 5
+        size = (1, pad) if expand_horizontal else (pad, 1)
+        out = r_dilation(out, size)
+    return out
+
+
+def threshold_and_upscale_map(
+    img_shape: Tuple[int, int],
+    gt: jnp.ndarray,
+    skeletonize_map: bool = False,
+    threshold: float = 150,
+    expand: bool = False,
+) -> jnp.ndarray:
+    """Resize a map to image shape then threshold (morph_util.py:233-241)."""
+    h, w = img_shape[:2]
+    resized = jax.image.resize(gt.astype(jnp.float32), (h, w), method="bilinear")
+    if skeletonize_map:
+        return skelet(resized, thres=threshold, expand=expand)
+    return resized > threshold
