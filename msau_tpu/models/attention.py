@@ -42,6 +42,40 @@ Dtype = Any
 _PALLAS_MIN_TOKENS = 4096
 
 
+def add_timing_signal_2d(
+    x: jnp.ndarray, min_timescale: float = 1.0, max_timescale: float = 1.0e3
+) -> jnp.ndarray:
+    """2-D sinusoidal positional encoding added channel-wise.
+
+    The reference ships a broken version (attention.py:32-103: operator-
+    precedence bug in the timescale exponent, commented out at :242); this
+    is the intended Tensor2Tensor formulation: channels are split between
+    the H and W dimensions, each getting sin/cos pairs over a geometric
+    timescale ladder.  x: [N, H, W, C].
+    """
+    import math
+
+    n, h, w, c = x.shape
+    num_dims = 2
+    num_ts = c // (num_dims * 2)
+    if num_ts == 0:
+        return x
+    log_inc = math.log(max_timescale / min_timescale) / max(num_ts - 1, 1)
+    inv_ts = min_timescale * jnp.exp(-log_inc * jnp.arange(num_ts, dtype=jnp.float32))
+    out = x
+    for dim, length in ((0, h), (1, w)):
+        pos = jnp.arange(length, dtype=jnp.float32)
+        scaled = pos[:, None] * inv_ts[None, :]            # [L, num_ts]
+        signal = jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=1)
+        prepad = dim * 2 * num_ts
+        postpad = c - (dim + 1) * 2 * num_ts
+        signal = jnp.pad(signal, ((0, 0), (prepad, postpad)))  # [L, C]
+        shape = [1, 1, 1, c]
+        shape[dim + 1] = length
+        out = out + signal.reshape(shape)
+    return out
+
+
 def self_attention_xla(f: jnp.ndarray, g: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
     """Reference-semantics attention via einsum.
 
