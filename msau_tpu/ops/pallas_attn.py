@@ -167,6 +167,12 @@ def _fused_bwd(block, interpret, res, dout):
     j-blocks are streamed with lax.map; the T x T matrix never materializes.
     """
     f, g, h, m, l = res
+    in_dtypes = (f.dtype, g.dtype, h.dtype)
+    # accumulate grads in f32 regardless of primal dtype
+    f = f.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    h = h.astype(jnp.float32)
+    dout = dout.astype(jnp.float32)
     n, t, cb = f.shape
     c = h.shape[-1]
     bj = block
@@ -202,7 +208,11 @@ def _fused_bwd(block, interpret, res, dout):
 
     dg, df_blocks = jax.lax.scan(dfdg_step, jnp.zeros_like(g), j_starts)
     df = jnp.moveaxis(df_blocks, 0, 1).reshape(n, t, cb)
-    return df, dg, dh
+    return (
+        df.astype(in_dtypes[0]),
+        dg.astype(in_dtypes[1]),
+        dh.astype(in_dtypes[2]),
+    )
 
 
 _fused_attention_vjp.defvjp(_fused_fwd, _fused_bwd)
