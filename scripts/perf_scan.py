@@ -67,14 +67,10 @@ def main():
     quick = "--quick" in sys.argv
     bs, hw = (2, 128) if quick else (8, 512)
     variants = [
-        ("baseline(remat,3blk,fr8)", dict(BASE)),
         ("no-remat", dict(BASE, remat=False)),
-        ("no-lrn", dict(BASE, use_lrn=False, remat=False)),
-        ("bf16-compute", dict(BASE, dtype="bfloat16", remat=False)),
-        ("bf16-no-lrn", dict(BASE, dtype="bfloat16", use_lrn=False, remat=False)),
-        ("1-block", dict(BASE, num_blocks=1)),
-        ("2-block", dict(BASE, num_blocks=2)),
-        ("attention-xla", dict(BASE, attention_impl="xla")),
+        ("bf16-no-remat", dict(BASE, dtype="bfloat16", remat=False)),
+        ("no-lrn-remat", dict(BASE, use_lrn=False, remat=True)),
+        ("bf16-no-lrn-remat", dict(BASE, dtype="bfloat16", use_lrn=False, remat=True)),
     ]
     results = {}
     for name, kw in variants:
