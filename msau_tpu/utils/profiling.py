@@ -96,6 +96,26 @@ class MetricsLogger:
                 if k != "step":
                     self._tb.add_scalar(k, v, step)
 
+    def log_image(self, step: int, name: str, image) -> Optional[str]:
+        """Write an image (numpy HxW[xC] or PIL) as PNG under log_dir —
+        the io_utils.log_matrix TensorBoard-image analog."""
+        try:
+            from PIL import Image
+
+            if not hasattr(image, "save"):
+                arr = np.asarray(image)
+                if arr.dtype != np.uint8:
+                    lo, hi = float(arr.min()), float(arr.max())
+                    arr = ((arr - lo) / (hi - lo + 1e-9) * 255).astype(np.uint8)
+                image = Image.fromarray(arr)
+            path = os.path.join(
+                os.path.dirname(self._f.name), f"{name.replace('/', '_')}_{step}.png"
+            )
+            image.save(path)
+            return path
+        except Exception:
+            return None
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:
