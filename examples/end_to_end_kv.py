@@ -17,6 +17,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     import jax

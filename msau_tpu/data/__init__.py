@@ -1,6 +1,6 @@
 from msau_tpu.data.charset import Charset
 from msau_tpu.data.pages import Line, Page, load_funsd_page, load_label_json_page
-from msau_tpu.data import rasterize
+from msau_tpu.data import bbox, cellgraph, corners, featgrid, rasterize, wordgrid
 
 __all__ = [
     "Charset",
@@ -8,5 +8,10 @@ __all__ = [
     "Page",
     "load_funsd_page",
     "load_label_json_page",
+    "bbox",
+    "cellgraph",
+    "corners",
+    "featgrid",
     "rasterize",
+    "wordgrid",
 ]

@@ -64,3 +64,42 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: str = "data") -> Any:
         return jax.device_put(x, batch_sharding(mesh, x.ndim, batch_axis))
 
     return jax.tree_util.tree_map(put, batch)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (SURVEY.md §5.8: jax.distributed + per-host input feed)
+# ---------------------------------------------------------------------------
+def maybe_initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize jax.distributed when multi-host env/coordinates are given.
+
+    Returns True if a multi-process runtime was initialized.  Single-host
+    runs (this repo's test/bench environment) no-op and return False.
+    """
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def host_local_batch_to_global(batch: Any, mesh: Mesh, batch_axis: str = "data") -> Any:
+    """Assemble per-host shards into global arrays
+    (jax.make_array_from_process_local_data): each host feeds its local slice
+    of the global batch; dim 0 is sharded over ``batch_axis``."""
+
+    def put(x):
+        sharding = batch_sharding(mesh, np.asarray(x).ndim, batch_axis)
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, batch)
