@@ -122,6 +122,18 @@ def paint_planes(
     return jax.lax.fori_loop(0, boxes.shape[0], body, init)
 
 
+def paint_boxes_fast(
+    boxes: jnp.ndarray, values: jnp.ndarray, height: int, width: int
+) -> jnp.ndarray:
+    """Painter dispatch: the Pallas tile-culling kernel on TPU when the
+    height is tile-aligned, the XLA fori_loop fallback otherwise."""
+    if jax.default_backend() not in ("cpu",) and height % 128 == 0:
+        from msau_tpu.ops.paint_pallas import paint_boxes_pallas
+
+        return paint_boxes_pallas(boxes, values, height, width)
+    return paint_boxes(boxes, values, height, width)
+
+
 def paint_boxes_numpy(program: BoxProgram, height: int, width: int) -> Array:
     """Host golden model (used by tests to pin down device semantics)."""
     grid = np.zeros((height, width), np.int32)
@@ -358,9 +370,9 @@ def assemble_chargrid_input(
     mask, then the char-separator plane (as a 0/1-esque id plane one-hot is
     NOT applied to the extra planes; they carry raw values cast to float).
     """
-    ids = paint_boxes(char_boxes, char_values, height, width)
-    sep = paint_boxes(sep_boxes, sep_values, height, width)
-    lm = paint_boxes(lm_boxes, lm_values, height, width)
+    ids = paint_boxes_fast(char_boxes, char_values, height, width)
+    sep = paint_boxes_fast(sep_boxes, sep_values, height, width)
+    lm = paint_boxes_fast(lm_boxes, lm_values, height, width)
     onehot = jax.nn.one_hot(ids, n_token, dtype=jnp.float32)
     return jnp.concatenate(
         [onehot, lm[..., None].astype(jnp.float32), sep[..., None].astype(jnp.float32)],
@@ -406,7 +418,7 @@ def rasterize_train_example(
         jnp.asarray(lm.boxes), jnp.asarray(lm.values),
         hb, wb, charset.n_token,
     )
-    label = paint_boxes(jnp.asarray(lab.boxes), jnp.asarray(lab.values), hb, wb)
+    label = paint_boxes_fast(jnp.asarray(lab.boxes), jnp.asarray(lab.values), hb, wb)
     rows = jnp.arange(hb)[:, None]
     cols = jnp.arange(wb)[None, :]
     valid = (rows < progs.height) & (cols < progs.width)

@@ -28,7 +28,7 @@ from msau_tpu.data.pages import Line, Page, load_label_json_page
 from msau_tpu.data.rasterize import (
     BoxProgram,
     build_chargrid_programs,
-    paint_boxes,
+    paint_boxes_fast as paint_boxes,
     pad_to_bucket,
     round_up,
 )
