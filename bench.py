@@ -66,9 +66,12 @@ def main():
     state = TrainState.create(params, optimizer)
     step = make_train_step(model, optimizer, masked=True, donate=True)
 
-    # warmup/compile
+    # warmup/compile — sync via an actual transfer (block_until_ready can
+    # return early on the axon remote backend)
     state, metrics = step(state, batch)
-    jax.block_until_ready(state.params)
+    _ = float(metrics["loss"])
+    state, metrics = step(state, batch)
+    _ = float(metrics["loss"])
 
     # NOTE: on the axon remote backend block_until_ready can return before
     # the dispatched chain executes (under-measuring by ~400x); an actual
