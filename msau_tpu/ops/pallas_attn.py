@@ -6,17 +6,23 @@ the *output* axis, accumulation over the *input* axis (note the transpose
 versus standard attention).
 
 Because the softmax normalizer of row i needs the whole row, the kernel
-runs two passes, both blockwise in VMEM (the T x T score matrix never
-touches HBM):
+runs two passes, both blockwise (the T x T score matrix never touches HBM):
 
-  1. ``_stats_kernel``   — per i-block, stream j-blocks of f computing the
-     online (max, sum-exp) of s[i, :].
-  2. ``_accum_kernel``   — per j-block, stream i-blocks accumulating
-     exp(s_ij - m_i)/l_i * h_i into out[j].
+  1. ``_stats_kernel``   — 2-D reduction grid (i, j): stream j-blocks of f
+     per i-block of g, maintaining the online (max, sum-exp) of s[i, :] in
+     the revisited (m, l) output block.
+  2. ``_accum_kernel``   — 2-D reduction grid (j, i): stream i-blocks of
+     g/h/m/l per j-block of f, accumulating exp(s_ij - m_i)/l_i * h_i into
+     the revisited out[j] block.
 
-All matmuls hit the MXU with f32 accumulation.  Block sizes default to
-(256, 256) — T is a multiple of 256 for every power-of-two chargrid the
-model produces at its deepest scale (512²/S=4 → 4096, 1024²/S=4 → 16384).
+Every operand streams through VMEM in blocks (nothing is held whole), so
+the kernels scale to arbitrary T — 1024² chargrids put T = 16384 at the
+deepest scale, which would not fit full-array VMEM residency after lane
+padding.  All matmuls hit the MXU with f32 accumulation.
+
+The backward pass is a custom VJP computed blockwise in XLA from the saved
+(m, l) stats — no T x T buffers, which is what lets the full 512² 3-stage
+model train un-remat'd in 16 GB.
 """
 
 from __future__ import annotations
@@ -33,57 +39,50 @@ NEG_INF = -1e30
 
 
 def _stats_kernel(g_ref, f_ref, m_ref, l_ref):
-    """Grid: (num_i_blocks,). g block [Bi, Cb]; f full [T, Cb] in VMEM."""
-    bi, cb = g_ref.shape
-    t = f_ref.shape[0]
-    bj = bi  # use square blocks for the streamed axis
-    g = g_ref[:]
+    """Grid (nb_i, nb_j): g block [Bi, Cb] by i; f block [Bj, Cb] by j;
+    m/l out blocks [Bi, 1] revisited across j."""
+    j = pl.program_id(1)
 
-    def body(j, carry):
-        m, l = carry
-        fj = f_ref[pl.ds(j * bj, bj), :]
-        s = jax.lax.dot_general(
-            g, fj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Bi, Bj]
-        mj = jnp.max(s, axis=1)
-        m_new = jnp.maximum(m, mj)
-        l = l * jnp.exp(m - m_new) + jnp.sum(
-            jnp.exp(s - m_new[:, None]), axis=1
-        )
-        return m_new, l
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-    m0 = jnp.full((bi,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bi,), jnp.float32)
-    m, l = jax.lax.fori_loop(0, t // bj, body, (m0, l0))
-    m_ref[:] = m[:, None]
-    l_ref[:] = l[:, None]
+    s = jax.lax.dot_general(
+        g_ref[:], f_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Bi, Bj]
+    m_old = m_ref[:, 0]
+    l_old = l_ref[:, 0]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1))
+    l_new = l_old * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(s - m_new[:, None]), axis=1
+    )
+    m_ref[:] = m_new[:, None]
+    l_ref[:] = l_new[:, None]
 
 
-def _accum_kernel(g_ref, f_ref, h_ref, m_ref, l_ref, o_ref):
-    """Grid: (num_j_blocks,). f block [Bj, Cb]; g/h/m/l full in VMEM."""
-    bj = f_ref.shape[0]
-    t, c = h_ref.shape
-    bi = bj
-    fj = f_ref[:]
+def _accum_kernel(f_ref, g_ref, h_ref, m_ref, l_ref, o_ref):
+    """Grid (nb_j, nb_i): f block [Bj, Cb] by j (resident across i);
+    g/h/m/l blocks by i; out block [Bj, C] revisited across i."""
+    i = pl.program_id(1)
 
-    def body(i, acc):
-        gi = g_ref[pl.ds(i * bi, bi), :]
-        hi = h_ref[pl.ds(i * bi, bi), :]
-        mi = m_ref[pl.ds(i * bi, bi), :]          # [Bi, 1]
-        li = l_ref[pl.ds(i * bi, bi), :]
-        s = jax.lax.dot_general(
-            gi, fj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Bi, Bj]
-        p = jnp.exp(s - mi) / li
-        return acc + jax.lax.dot_general(
-            p, hi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Bj, C]
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
 
-    acc0 = jnp.zeros((bj, c), jnp.float32)
-    o_ref[:] = jax.lax.fori_loop(0, t // bi, body, acc0)
+    s = jax.lax.dot_general(
+        g_ref[:], f_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Bi, Bj]
+    p = jnp.exp(s - m_ref[:]) / l_ref[:]
+    o_ref[:] += jax.lax.dot_general(
+        p, h_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Bj, C]
 
 
 def _fused_forward(f, g, h, block, interpret):
@@ -99,14 +98,14 @@ def _fused_forward(f, g, h, block, interpret):
     def single(fb, gb, hb):
         m, l = pl.pallas_call(
             _stats_kernel,
-            grid=(nb,),
+            grid=(nb, nb),
             in_specs=[
-                pl.BlockSpec((block, cb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((t, 1), jnp.float32),
@@ -116,20 +115,20 @@ def _fused_forward(f, g, h, block, interpret):
         )(gb, fb)
         out = pl.pallas_call(
             _accum_kernel,
-            grid=(nb,),
+            grid=(nb, nb),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # g full
-                pl.BlockSpec((block, cb), lambda j: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # h full
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # m full
-                pl.BlockSpec(memory_space=pltpu.VMEM),   # l full
+                pl.BlockSpec((block, cb), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, cb), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, c), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (block, c), lambda j: (j, 0), memory_space=pltpu.VMEM
+                (block, c), lambda j, i: (j, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
             interpret=interpret,
-        )(gb, fb, hb, m, l)
+        )(fb, gb, hb, m, l)
         return out, m, l
 
     return jax.vmap(single)(f, g, h)
@@ -164,7 +163,7 @@ def _fused_bwd(block, interpret, res, dout):
       rho_i = h_i . dh_i
       ds_ij = A_ij (h_i . dout_j - rho_i)
       dg_i = sum_j ds_ij f_j ;  df_j = sum_i ds_ij g_i
-    j-blocks are streamed with lax.map; the T x T matrix never materializes.
+    j-blocks are streamed with lax.scan; the T x T matrix never materializes.
     """
     f, g, h, m, l = res
     in_dtypes = (f.dtype, g.dtype, h.dtype)
