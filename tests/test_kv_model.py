@@ -84,6 +84,38 @@ class TestKVModel:
         results, _ = kv.predict(page)
         assert isinstance(results, dict)
 
+    def test_load_from_checkpoint(self, charset_file, tmp_path):
+        """KVModel.load(model_weight=...) restores orbax params saved by the
+        Trainer — the train -> serve handoff."""
+        import jax
+        import orbax.checkpoint as ocp
+
+        kv = make_kv_model(charset_file)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(str(tmp_path / "w"), kv.params, force=True)
+        ckptr.wait_until_finished()
+
+        kv2 = KVModel(
+            model_config=kv.model_config,
+            infer_config=InferConfig(n_class=kv.n_class),
+            schema=kv.schema,
+        )
+        kv2.load(
+            model_weight=str(tmp_path / "w"),
+            charset=charset_file,
+            n_class=kv.n_class,
+        )
+        import numpy as np
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(kv.params),
+            jax.tree_util.tree_leaves(kv2.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        r1, _ = kv.predict(FIXTURE)
+        r2, _ = kv2.predict(FIXTURE)
+        assert r1 == r2
+
     def test_predict_batch_matches_single(self, charset_file):
         kv = make_kv_model(charset_file)
         page = load_label_json_page(FIXTURE)
