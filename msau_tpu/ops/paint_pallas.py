@@ -23,6 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _paint_kernel(boxes_ref, values_ref, out_ref):
+    """boxes/values arrive via scalar prefetch (SMEM) — Mosaic-friendly
+    scalar indexing for the per-box control flow."""
     t = pl.program_id(0)
     tile_h = out_ref.shape[0]
     width = out_ref.shape[1]
@@ -61,17 +63,17 @@ def paint_boxes_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     assert height % tile_h == 0, f"height {height} % tile_h {tile_h} != 0"
-    grid = (height // tile_h,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # boxes + values live in SMEM
+        grid=(height // tile_h,),
+        in_specs=[],
+        out_specs=pl.BlockSpec(
+            (tile_h, width), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+        ),
+    )
     return pl.pallas_call(
         _paint_kernel,
         out_shape=jax.ShapeDtypeStruct((height, width), jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes, whole array
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # values
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_h, width), lambda t: (t, 0), memory_space=pltpu.VMEM
-        ),
+        grid_spec=grid_spec,
         interpret=interpret,
     )(boxes, values)
