@@ -23,8 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _paint_kernel(boxes_ref, values_ref, out_ref):
-    """boxes/values arrive via scalar prefetch (SMEM) — Mosaic-friendly
-    scalar indexing for the per-box control flow."""
+    """boxes (flattened [B*4]) and values arrive via scalar prefetch (SMEM)
+    — 1-D layout avoids SMEM row padding; scalar indexing drives the
+    per-box control flow."""
     t = pl.program_id(0)
     tile_h = out_ref.shape[0]
     width = out_ref.shape[1]
@@ -33,13 +34,13 @@ def _paint_kernel(boxes_ref, values_ref, out_ref):
     out_ref[:] = jnp.zeros_like(out_ref)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, width), 1)
-    n_boxes = boxes_ref.shape[0]
+    n_boxes = values_ref.shape[0]
 
     def body(i, _):
-        y1 = boxes_ref[i, 0]
-        y2 = boxes_ref[i, 1]
-        x1 = boxes_ref[i, 2]
-        x2 = boxes_ref[i, 3]
+        y1 = boxes_ref[4 * i + 0]
+        y2 = boxes_ref[4 * i + 1]
+        x1 = boxes_ref[4 * i + 2]
+        x2 = boxes_ref[4 * i + 3]
 
         @pl.when((y1 < row0 + tile_h) & (y2 > row0) & (x2 > x1))
         def _():
@@ -76,4 +77,4 @@ def paint_boxes_pallas(
         out_shape=jax.ShapeDtypeStruct((height, width), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(boxes, values)
+    )(boxes.reshape(-1), values)
