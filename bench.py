@@ -53,7 +53,7 @@ def main():
         jax.config.update("jax_default_matmul_precision", tcfg.matmul_precision)
 
     hw = 128 if quick else 512
-    bs = 2 if quick else 8
+    bs = 2 if quick else 16
 
     model = build_model(cfg)
     optimizer = make_optimizer(tcfg)

@@ -1,0 +1,41 @@
+"""End-to-end CLI smoke: preprocess → train (1 epoch, tiny model) via the
+real entry points, exactly as a reference user would run them."""
+
+import json
+import os
+
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.slow
+def test_preprocess_then_train(tmp_path):
+    from msau_tpu.tools.preprocess_funsd import main as preprocess
+    from msau_tpu.tools.train_funsd import main as train
+
+    pp = tmp_path / "pp"
+    preprocess(["--train_dir", FIXTURES, "--out_dir", str(pp)])
+    assert (pp / "funsd_preprocess_train_word.pkl").exists()
+
+    # tiny model via model_kwargs.json (the reference config mechanism)
+    mk = tmp_path / "model_kwargs.json"
+    mk.write_text(
+        json.dumps(
+            dict(model="msau", final_act="softmax", featRoot=4,
+                 scale_space_num=2, res_depth=1, n_class=5, img_channels=33)
+        )
+    )
+    ckpt = tmp_path / "ckpt"
+    train([
+        "--data_dir", str(pp),
+        "--ckptdir", str(ckpt),
+        "--epochs", "1",
+        "--train_ratio", "1.0",
+        "--model_kwargs_path", str(mk),
+        "--eval_every", "1",
+        "--checkpoint_every", "1",
+    ])
+    # checkpoint written under the io_utils-style prefix dir
+    subdirs = list(ckpt.glob("funsd_msau_*/*"))
+    assert subdirs, f"no checkpoints in {list(ckpt.iterdir())}"
