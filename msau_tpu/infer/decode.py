@@ -119,19 +119,21 @@ def decode_fields_device(
         ).at[0].set(0)
         line_overlap = overlap_cnt > 0
 
-        # count distinct chosen components per line: for main + each alt root
-        def comp_overlap(root):
-            m = (labels == root) & chosen
-            return (
-                jax.ops.segment_sum(
-                    m.reshape(-1).astype(jnp.int32), seg, num_segments=nl
-                )
-                > 0
-            )
-
-        roots = jnp.concatenate([main[None], alt_roots])
-        per_comp = jax.vmap(comp_overlap)(roots)          # [K+1, L+1]
+        # count distinct chosen components per line.  One composite-id
+        # segment op instead of K+1 scatters: pixel -> (component slot,
+        # line) bucket, where slot 0 = main, 1..K = alts, K+1 = not chosen.
+        roots = jnp.concatenate([main[None], alt_roots])  # [K+1]
         comp_valid = jnp.concatenate([active[None], alt_valid])
+        lbl = labels.reshape(-1)
+        slot = jnp.full_like(lbl, k + 1)
+        for si in range(k, -1, -1):  # earlier roots win ties (main first)
+            slot = jnp.where(lbl == roots[si], si, slot)
+        slot = jnp.where(ch_flat, slot, k + 1)
+        composite = slot * nl + jnp.where(ch_flat, lid_flat, 0)
+        bucket = jax.ops.segment_sum(
+            jnp.ones_like(composite), composite, num_segments=(k + 2) * nl
+        ).reshape(k + 2, nl)
+        per_comp = bucket[: k + 1] > 0                    # [K+1, L+1]
         comp_per_line = jnp.sum(
             per_comp & comp_valid[:, None], axis=0
         ).at[0].set(0)
@@ -154,11 +156,19 @@ def decode_fields_device(
             "chosen": chosen,
         }
 
-    out = jax.vmap(per_class)(jnp.arange(n_class, dtype=jnp.int32), multiline)
-    # classes 0/1 (background + first key) are never decoded (kv_model.py:174)
-    for key in ("active",):
-        out[key] = out[key] & (jnp.arange(n_class) >= 2)
-    return out
+    # classes 0/1 (background + first key) are never decoded
+    # (kv_model.py:174) — and class 0's huge background components would
+    # dominate the vmapped CCL's iteration count, so they are excluded
+    # from the computation entirely, not just masked after.
+    out2 = jax.vmap(per_class)(
+        jnp.arange(2, n_class, dtype=jnp.int32), multiline[2:]
+    )
+
+    def pad_front(x):
+        pad_shape = (2,) + x.shape[1:]
+        return jnp.concatenate([jnp.zeros(pad_shape, x.dtype), x], axis=0)
+
+    return {key: pad_front(v) for key, v in out2.items()}
 
 
 # ---------------------------------------------------------------------------
