@@ -66,6 +66,9 @@ class ModelConfig:
         "num_box_convs": "num_box_convs",
         "max_box_sizes": "max_box_size",
         "num_box_per_channels": "num_box_per_channel",
+        # extension key (not in the reference schema, which hardcodes 3
+        # blocks at model/model.py:355); absent keys keep the default
+        "num_blocks": "num_blocks",
     }
 
     def to_model_kwargs(self) -> Dict[str, Any]:

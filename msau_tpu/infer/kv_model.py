@@ -69,6 +69,22 @@ class KVModel:
             self.charset = Charset.from_file(charset, specials=INFER_SPECIALS)
         if n_class is not None:
             self.n_class = n_class
+        # keep the field schema aligned with n_class: truncate a longer
+        # default, or pad with generated k_/v_ names (extract_training_data
+        # naming scheme) when the model has more classes than the schema
+        if self.schema.n_class != self.n_class:
+            names = list(self.schema.class_names[: self.n_class])
+            i = len(names)
+            while len(names) < self.n_class:
+                prefix = "k_" if len(names) % 2 == 1 else "v_"
+                names.append(f"{prefix}f{(len(names) - 1) // 2 + 1}")
+            self.schema = dataclasses.replace(
+                self.schema,
+                class_names=tuple(names),
+                multiple_lines_fields=tuple(
+                    c for c in self.schema.multiple_lines_fields if c < self.n_class
+                ),
+            )
         if model_kwargs_path is not None:
             with open(model_kwargs_path) as f:
                 self.model_config = ModelConfig.from_model_kwargs(json.load(f))

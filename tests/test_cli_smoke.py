@@ -10,6 +10,38 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 @pytest.mark.slow
+def test_train_generic_entry_b(tmp_path):
+    """Entry-B pipeline: label JSONs + charset -> threaded provider ->
+    staircase-LR trainer -> checkpoint."""
+    import shutil
+
+    from msau_tpu.tools.train_generic import main as train_generic
+
+    data = tmp_path / "train"
+    data.mkdir()
+    shutil.copy(os.path.join(FIXTURES, "kv_sample.json"), data / "a.json")
+    shutil.copy(os.path.join(FIXTURES, "kv_sample.json"), data / "b.json")
+    charset = tmp_path / "charset.txt"
+    charset.write_text("".join(sorted(set(
+        "Bank NameFirst National Account 0123456789Alexandra Example Savings"
+    ))))
+    out = tmp_path / "out"
+    train_generic([
+        "--train_dir", str(data),
+        "--val_dir", str(data),
+        "--charset", str(charset),
+        "--n_classes", "5",
+        "--output_path", str(out),
+        "--epochs", "1",
+        "--batch_steps_per_epoch", "2",
+        "--feat_root", "4",
+        "--scale_space_num", "2",
+        "--res_depth", "1",
+    ])
+    assert any(p.name.startswith("model") for p in out.iterdir())
+
+
+@pytest.mark.slow
 def test_preprocess_then_train(tmp_path):
     from msau_tpu.tools.preprocess_funsd import main as preprocess
     from msau_tpu.tools.train_funsd import main as train
