@@ -28,6 +28,10 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    import msau_tpu
+
+    msau_tpu.configure_tpu_precision()  # required for stable TPU training
+
     from msau_tpu.config import InferConfig, ModelConfig
     from msau_tpu.data.pages import load_label_json_page
     from msau_tpu.data.rasterize import paint_boxes, round_up

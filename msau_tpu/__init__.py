@@ -25,6 +25,23 @@ from msau_tpu.config import (
     TrainConfig,
 )
 
+
+def configure_tpu_precision(precision: str = "BF16_BF16_F32_X3") -> bool:
+    """Set the matmul precision needed for stable training on TPU.
+
+    The TPU backend's default bf16 multiplies destabilize gradients through
+    the LRN/attention stack (measured grad-norm inflation 14 -> 3155 at
+    init; see PERF.md).  ``Trainer`` applies this automatically; call this
+    when writing a custom training loop.  No-op on CPU.  Returns True if
+    the config was applied.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
+    jax.config.update("jax_default_matmul_precision", precision)
+    return True
+
 __all__ = [
     "Config",
     "DataConfig",
