@@ -124,3 +124,32 @@ class TestKVModel:
         assert len(batched) == 2
         for res, _values in batched:
             assert res == single
+
+    def test_single_line_page(self, charset_file):
+        from msau_tpu.data.pages import Line, Page
+
+        kv = make_kv_model(charset_file)
+        page = Page(lines=[Line(box=(10, 10, 200, 40), text="Account 123", label=0)])
+        results, extras = kv.predict(page)
+        assert isinstance(results, dict)
+
+    def test_empty_text_lines_page(self, charset_file):
+        from msau_tpu.data.pages import Line, Page
+
+        kv = make_kv_model(charset_file)
+        page = Page(lines=[
+            Line(box=(10, 10, 100, 30), text="", label=0),
+            Line(box=(10, 50, 120, 75), text="Savings", label=0),
+        ])
+        results, _ = kv.predict(page)
+        assert isinstance(results, dict)
+
+    def test_schema_alignment_on_load(self, charset_file):
+        """n_class different from the default 17-name schema must align."""
+        kv = KVModel(infer_config=InferConfig(n_class=9))
+        kv.load(charset=charset_file, n_class=9)
+        assert kv.schema.n_class == 9
+        kv21 = KVModel(infer_config=InferConfig(n_class=21))
+        kv21.load(charset=charset_file, n_class=21)
+        assert kv21.schema.n_class == 21
+        assert all(n[:2] in ("k_", "v_") or n == "NUL" for n in kv21.schema.class_names)
