@@ -64,8 +64,8 @@ def main(argv=None):
             model="msau", final_act="softmax", feat_root=8, scale_space_num=4,
             res_depth=2, n_class=n_class, img_channels=charset.n_token,
         )
+        os.makedirs(args.ckptdir, exist_ok=True)
         with open(os.path.join(args.ckptdir, "model_kwargs.json"), "w") as f:
-            os.makedirs(args.ckptdir, exist_ok=True)
             json.dump(mc.to_model_kwargs(), f)
 
     idx = list(range(len(train_ex)))

@@ -178,6 +178,20 @@ class Trainer:
         reference Trainer.train contract (model/training/trainer.py:57-207)."""
         epochs = epochs if epochs is not None else self.cfg.epochs
         steps = batch_steps_per_epoch or self.cfg.batch_steps_per_epoch
+        if steps != self.cfg.batch_steps_per_epoch and self.cfg.lr_decay_staircase:
+            # The staircase schedule converts the step counter to epochs via
+            # steps_per_epoch (model/training/trainer.py:45-49 decays by
+            # *epoch*); an overridden epoch length must reach the schedule or
+            # decay boundaries land on the wrong steps.  The optax chain
+            # structure is unchanged, so an existing opt_state stays valid.
+            self.optimizer = make_optimizer(self.cfg, steps_per_epoch=steps)
+            self.train_step = make_train_step(
+                self.model,
+                self.optimizer,
+                masked=self.cfg.masked_loss,
+                aux_weight=self.cfg.loss_aux_weight,
+                donate=self.cfg.donate_state,
+            )
         if restore_path:
             self.restore(restore_path)
         assert self.state is not None, "call init_state() first"

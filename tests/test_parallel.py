@@ -42,7 +42,7 @@ class TestShardedConv:
         mesh = make_mesh((8,), ("spatial",))
         # global H = 16, 8 shards of 2 rows; values = global row index
         x = jnp.arange(16.0).reshape(1, 16, 1, 1)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         def f(xb):
             return halo_exchange(xb, 1, "spatial")

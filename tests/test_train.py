@@ -167,3 +167,36 @@ class TestFitLoop:
         assert len(hist["val_loss"]) == 2
         import os
         assert any(p.startswith("model") for p in os.listdir(tmp_path))
+
+    def test_fit_steps_override_reaches_staircase(self):
+        """An overridden batch_steps_per_epoch must rebuild the staircase
+        schedule (decay boundaries are in epochs, trainer.py:45-49)."""
+
+        class Provider:
+            size_val = 0
+
+            def __init__(self):
+                self.rng = np.random.default_rng(7)
+
+            def next_data(self, split):
+                return synthetic_batch(self.rng, n=1, hw=16)
+
+        cfg = ModelConfig(
+            img_channels=8, n_class=4, scale_space_num=2, res_depth=1,
+            feat_root=4, num_blocks=1,
+        )
+        tcfg = TrainConfig(
+            learning_rate=1e-3, lr_decay_staircase=True,
+            lr_decay_every_epochs=1, batch_steps_per_epoch=1024,
+            donate_state=False,
+        )
+        trainer = Trainer(cfg, tcfg)
+        trainer.init_state(synthetic_batch(np.random.default_rng(0), n=1, hw=16)["input"])
+        before = trainer.optimizer
+        trainer.fit(Provider(), epochs=1, batch_steps_per_epoch=2,
+                    log_fn=lambda s: None)
+        assert trainer.optimizer is not before
+        # the rebuilt schedule decays per 2-step epoch, not per 1024 steps
+        from msau_tpu.train.optimizer import staircase_schedule
+        sched = staircase_schedule(1e-3, 0.95, 1, steps_per_epoch=2)
+        assert float(sched(2)) == pytest.approx(1e-3 * 0.95)
