@@ -173,12 +173,15 @@ class DilConvBnLrnDrop(nn.Module):
 class DeconvBnLrnDrop(nn.Module):
     """Stride-2 transposed conv resized to an exact target spatial shape.
 
-    Mirrors reference ``Deconv2DBnLrnDrop`` (model/layers/layers.py:207-260),
-    whose ``output_size=`` argument forces the output to match the skip
-    connection exactly (model/model.py:230).  Here ``target_hw`` crops the
-    XLA 'SAME' conv_transpose output (2*H, 2*W) to the skip shape — identical
-    geometry for the even sizes produced by SAME pooling, and a bottom/right
-    crop (torch's output_padding inverse) otherwise.
+    Mirrors reference ``Deconv2DBnLrnDrop`` (model/layers/layers.py:207-260):
+    torch ``ConvTranspose2d(stride=s, padding=k//2)`` whose ``output_size=``
+    argument picks the per-dim output_padding to match the skip connection
+    exactly (model/model.py:230).  Implemented as the equivalent
+    input-dilated convolution: dilate by ``stride``, pad
+    ``(k-1-p, k-1-p+output_padding)``, correlate — verified bit-exact
+    against torch for even and odd targets.  The kernel parameter is stored
+    HWIO in this correlation orientation (the spatial flip of torch's
+    transposed-conv weight; the Gaussian init is flip-invariant).
     """
 
     features: int
@@ -192,17 +195,33 @@ class DeconvBnLrnDrop(nn.Module):
     def __call__(self, x: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
         cin = x.shape[-1]
         kh, kw = self.kernel_size
-        y = nn.ConvTranspose(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            kernel_init=tf_conv_kernel_init(kh, kw, self.features, cin),
-            bias_init=tf_bias_init(),
-            dtype=self.dtype,
-        )(x)
+        s = self.stride
+        # reference stddev uses kernel_shape=[kh, kw, out, in] (layers.py:217)
+        kernel = self.param(
+            "kernel",
+            tf_conv_kernel_init(kh, kw, self.features, cin),
+            (kh, kw, cin, self.features),
+        )
+        bias = self.param("bias", tf_bias_init(), (self.features,))
+        ph, pw = kh // 2, kw // 2
         th, tw = target_hw
-        y = y[:, :th, :tw, :]
+        h, w = x.shape[1], x.shape[2]
+        base_h = (h - 1) * s - 2 * ph + kh
+        base_w = (w - 1) * s - 2 * pw + kw
+        oph, opw = th - base_h, tw - base_w
+        assert 0 <= oph < s and 0 <= opw < s, (
+            f"target {target_hw} unreachable from {(h, w)} with stride {s}"
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph + oph),
+                     (kw - 1 - pw, kw - 1 - pw + opw)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(dtype)
         act = get_activation(self.activation)
         if act is not None:
             y = act(y)

@@ -132,13 +132,20 @@ class DownSamplingUNetBlock(nn.Module):
                     name=f"couple_conv_{layer}",
                 )(y, train=train)
             if layer > self.scale_space_num - 2:  # deepest scale only
-                y = SelfAttentionBlock(
-                    input_channels=feats,
-                    impl=self.attention_impl,
-                    dtype=self.dtype,
-                    name=f"attention_{layer}",
-                )(y)
-            dw_h_convs.append(y)
+                # Reference dataflow (model/model.py:149-160): the attention
+                # output is stored in dw_h_convs (it feeds the NEXT stage's
+                # down-coupling) while the up tower receives the
+                # PRE-attention tensor.
+                dw_h_convs.append(
+                    SelfAttentionBlock(
+                        input_channels=feats,
+                        impl=self.attention_impl,
+                        dtype=self.dtype,
+                        name=f"attention_{layer}",
+                    )(y)
+                )
+            else:
+                dw_h_convs.append(y)
             if layer < self.scale_space_num - 1:
                 x = nn.max_pool(
                     y,
