@@ -106,6 +106,8 @@ class DataConfig:
     elastic: bool = False
     elastic_value_x: float = 0.0002
     elastic_value_y: float = 0.0002
+    rotate: bool = False               # U(-20, 20) degrees (data_generator_text.py:308)
+    rotate_mod90: bool = False         # exact k*90 rotation (rotateMod90 intent)
     text_err: float = 0.0              # OCR-noise injection rate
     shuffle: bool = True
     # static-shape bucketing for XLA (no reference analog: reference uses

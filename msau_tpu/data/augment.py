@@ -56,19 +56,29 @@ def random_affine_matrix(
     return np.float32([[a0, a2, a4], [a1, a3, a5]])
 
 
-@functools.partial(jax.jit, static_argnames=())
-def apply_affine(stack: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
-    """Warp [H, W, C] with a 2x3 output->input affine (order-1, cval 0)."""
-    h, w, c = stack.shape
-    yy = jnp.arange(h, dtype=jnp.float32)
-    xx = jnp.arange(w, dtype=jnp.float32)
+@functools.partial(jax.jit, static_argnames=("order", "out_shape"))
+def apply_affine(
+    stack: jnp.ndarray,
+    matrix: jnp.ndarray,
+    order: int = 1,
+    out_shape: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Warp [H, W, C] with a 2x3 output->input affine (cval 0).
+
+    ``order=0`` (nearest) preserves id-valued planes; ``order=1`` for
+    one-hot/soft planes.  ``out_shape`` renders onto a different canvas
+    (used by rotation, whose bounding box grows).
+    """
+    oh, ow = out_shape or stack.shape[:2]
+    yy = jnp.arange(oh, dtype=jnp.float32)
+    xx = jnp.arange(ow, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
     src_y = matrix[0, 0] * gy + matrix[0, 1] * gx + matrix[0, 2]
     src_x = matrix[1, 0] * gy + matrix[1, 1] * gx + matrix[1, 2]
 
     def warp_plane(p):
         return jax.scipy.ndimage.map_coordinates(
-            p, [src_y, src_x], order=1, mode="constant", cval=0.0
+            p, [src_y, src_x], order=order, mode="constant", cval=0.0
         )
 
     return jax.vmap(warp_plane, in_axes=-1, out_axes=-1)(stack)
@@ -94,15 +104,16 @@ def elastic_fields(
     return coarse_dx.astype(np.float32), coarse_dy.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("order",))
 def apply_elastic(
     stack: jnp.ndarray,
     coarse_dx: jnp.ndarray,
     coarse_dy: jnp.ndarray,
     alpha_x: jnp.ndarray,
     alpha_y: jnp.ndarray,
+    order: int = 1,
 ) -> jnp.ndarray:
-    """Upsample coarse fields (cubic) and warp [H, W, C] (order-1)."""
+    """Upsample coarse fields (cubic) and warp [H, W, C]."""
     h, w, c = stack.shape
     dx = jax.image.resize(coarse_dx, (h, w), method="cubic") * alpha_x
     dy = jax.image.resize(coarse_dy, (h, w), method="cubic") * alpha_y
@@ -113,7 +124,7 @@ def apply_elastic(
 
     def warp_plane(p):
         return jax.scipy.ndimage.map_coordinates(
-            p, [gy + dy, gx + dx], order=1, mode="constant", cval=0.0
+            p, [gy + dy, gx + dx], order=order, mode="constant", cval=0.0
         )
 
     return jax.vmap(warp_plane, in_axes=-1, out_axes=-1)(stack)
@@ -138,6 +149,135 @@ def rebinarize_one_hot(
         planes[ch] = tmap
     planes[0] = ~claimed
     return jnp.stack(planes, axis=-1).astype(tgt.dtype)
+
+
+def rotated_canvas(h: int, w: int, angle_deg: float) -> Tuple[int, int]:
+    """Bounding-box size of an h x w page rotated by angle (like
+    scipy ndimage.rotate with reshape=True, data_generator_text.py:332)."""
+    th = np.deg2rad(angle_deg)
+    c, s = abs(np.cos(th)), abs(np.sin(th))
+    eps = 1e-6  # right angles hit exact integers up to fp error
+    return int(np.ceil(h * c + w * s - eps)), int(np.ceil(w * c + h * s - eps))
+
+
+def rotation_matrix(
+    page_hw: Tuple[int, int], rot_hw: Tuple[int, int], angle_deg: float
+) -> np.ndarray:
+    """2x3 output->input affine rotating the page region about its center,
+    re-centered on the rotated bounding box (top-left origin)."""
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    cy_in, cx_in = (page_hw[0] - 1) / 2.0, (page_hw[1] - 1) / 2.0
+    cy_out, cx_out = (rot_hw[0] - 1) / 2.0, (rot_hw[1] - 1) / 2.0
+    # output coords -> input coords; positive angle rotates the image
+    # counterclockwise in array space (scipy.ndimage.rotate convention,
+    # +90 == np.rot90)
+    return np.float32(
+        [[c, s, cy_in - c * cy_out - s * cx_out],
+         [-s, c, cx_in + s * cy_out - c * cx_out]]
+    )
+
+
+def sample_rotation(
+    rng: np.random.Generator, *, rotate: bool, rotate_mod90: bool
+) -> Tuple[Optional[float], int]:
+    """(angle_deg or None, rot90_k).  Reference: rotate draws U(-20, 20)
+    degrees (data_generator_text.py:308); rotateMod90 constrains rotation
+    to right angles (the committed snapping at :310-318 is bitrot that
+    always yields -45 — the intended mod-90 semantics are implemented
+    here as an exact k*90 rot)."""
+    if rotate_mod90:
+        return None, int(rng.integers(0, 4))
+    if rotate:
+        return float(rng.uniform(-20.0, 20.0)), 0
+    return None, 0
+
+
+def augment_example(
+    inp: jnp.ndarray,
+    label: jnp.ndarray,
+    valid: jnp.ndarray,
+    n_classes: int,
+    rng: np.random.Generator,
+    *,
+    affine: bool = False,
+    affine_value: float = 0.025,
+    elastic: bool = False,
+    elastic_value_x: float = 0.0002,
+    elastic_value_y: float = 0.0002,
+    rotate_angle: Optional[float] = None,
+    rot90_k: int = 0,
+    page_hw: Optional[Tuple[int, int]] = None,
+    out_hw: Optional[Tuple[int, int]] = None,
+    n_id_planes: int = 2,
+):
+    """Jointly augment a rasterized training example.
+
+    Mirrors the reference's whole-stack warp of concatenated
+    input/target/aux maps followed by re-binarization and dominating-channel
+    one-hot cleanup (data_generator_text.py:303-344).  The last
+    ``n_id_planes`` input channels carry raw ids (line mask / char-sep) and
+    are warped with nearest-neighbor so ids survive; one-hot planes are
+    warped bilinearly and re-binarized; the integer label is warped as
+    one-hot with the dominating-channel rule; ``valid`` tracks the page
+    region through every transform.
+
+    Args:
+      inp:   [H, W, C] float32, last ``n_id_planes`` channels id-valued.
+      label: [H, W] int32 class ids (0 = background/ignore).
+      valid: [H, W] bool.
+      rotate_angle: degrees, or None.  When set, ``page_hw`` (true content
+        size) and ``out_hw`` (canvas, >= rotated bbox) must be given.
+      rot90_k: exact multiple-of-90 rotation applied last (lossless).
+    Returns:
+      (inp, label, valid) tuple with the same dtypes; spatial dims change
+      only via ``out_hw``/``rot90_k``.
+    """
+    c = inp.shape[-1]
+    n_soft = c - n_id_planes
+    soft = jnp.concatenate(
+        [
+            inp[..., :n_soft],
+            jax.nn.one_hot(label, n_classes, dtype=jnp.float32),
+            valid[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    hard = inp[..., n_soft:]
+
+    h, w = soft.shape[:2]
+    if affine:
+        m = jnp.asarray(random_affine_matrix((h, w), affine_value, rng))
+        soft = apply_affine(soft, m, order=1)
+        hard = apply_affine(hard, m, order=0)
+    if elastic:
+        cdx, cdy = elastic_fields((h, w), elastic_value_x, elastic_value_y, rng)
+        ax = jnp.float32(elastic_value_x * min(h, w))
+        ay = jnp.float32(elastic_value_y * min(h, w))
+        cdx, cdy = jnp.asarray(cdx), jnp.asarray(cdy)
+        soft = apply_elastic(soft, cdx, cdy, ax, ay, order=1)
+        hard = apply_elastic(hard, cdx, cdy, ax, ay, order=0)
+    if rotate_angle is not None:
+        assert page_hw is not None and out_hw is not None
+        rot_hw = rotated_canvas(page_hw[0], page_hw[1], rotate_angle)
+        m = jnp.asarray(rotation_matrix(page_hw, rot_hw, rotate_angle))
+        soft = apply_affine(soft, m, order=1, out_shape=out_hw)
+        hard = apply_affine(hard, m, order=0, out_shape=out_hw)
+    if rot90_k:
+        soft = jnp.rot90(soft, rot90_k, axes=(0, 1))
+        hard = jnp.rot90(hard, rot90_k, axes=(0, 1))
+
+    new_inp = jnp.concatenate(
+        [
+            (soft[..., :n_soft] > BINARIZE_THRESHOLD).astype(inp.dtype),
+            hard.astype(inp.dtype),
+        ],
+        axis=-1,
+    )
+    label_oh = rebinarize_one_hot(soft[..., n_soft:n_soft + n_classes])
+    new_label = jnp.argmax(label_oh, axis=-1).astype(label.dtype)
+    new_valid = soft[..., -1] > 0.5
+    return new_inp, new_label, new_valid
 
 
 def augment_stack(

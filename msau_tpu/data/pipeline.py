@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from msau_tpu.config import DataConfig
+from msau_tpu.data.augment import augment_example, rotated_canvas, sample_rotation
 from msau_tpu.data.charset import Charset
 from msau_tpu.data.pages import Page, load_funsd_page, load_label_json_page
 from msau_tpu.data.rasterize import (
@@ -75,6 +76,7 @@ class ChargridProvider:
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._queues: Dict[str, queue.Queue] = {}
+        self._aug_rng = np.random.default_rng(20260816)
         if self.train_paths:
             self._queues["train"] = self._start_workers(
                 self.train_paths, "train", self.cfg.num_workers, train=True
@@ -141,6 +143,7 @@ class ChargridProvider:
 
     # ------------------------------------------------------------------
     def next_data(self, split: str = "train"):
+        train = split != "val"
         q = self._queues.get("val" if split == "val" else "train")
         if q is None:
             return None
@@ -150,12 +153,28 @@ class ChargridProvider:
                 return None
             tag = item[0]
             if tag == "ok":
-                return self._assemble(item[1])
+                return self._assemble(item[1], train=train)
         return None
 
-    def _assemble(self, progs):
-        hb, wb = pad_to_bucket(progs.height, progs.width, self.cfg.buckets)
-        cap = min(round_up(max(len(progs.char.values), 1), 512), self.cfg.max_chars)
+    def _assemble(self, progs, train: bool = True):
+        cfg = self.cfg
+        do_aug = train and (
+            cfg.affine or cfg.elastic or cfg.rotate or cfg.rotate_mod90
+        )
+        h0, w0 = progs.height, progs.width
+        angle, rot90_k = (None, 0)
+        if do_aug:
+            angle, rot90_k = sample_rotation(
+                self._aug_rng, rotate=cfg.rotate, rotate_mod90=cfg.rotate_mod90
+            )
+        if angle is not None:
+            # size the bucket for the rotated bounding box up front so the
+            # warp renders at a static shape (no post-rotation re-padding)
+            rh, rw = rotated_canvas(h0, w0, angle)
+            hb, wb = pad_to_bucket(max(h0, rh), max(w0, rw), cfg.buckets)
+        else:
+            hb, wb = pad_to_bucket(h0, w0, cfg.buckets)
+        cap = min(round_up(max(len(progs.char.values), 1), 512), cfg.max_chars)
         char = progs.char.padded(cap)
         sep = progs.char_sep.padded(cap)
         lcap = round_up(max(len(progs.line_mask.values), 1), 128)
@@ -170,11 +189,21 @@ class ChargridProvider:
         label = paint_boxes(jnp.asarray(lab.boxes), jnp.asarray(lab.values), hb, wb)
         rows = np.arange(hb)[:, None]
         cols = np.arange(wb)[None, :]
-        valid = (rows < progs.height) & (cols < progs.width)
+        valid = (rows < h0) & (cols < w0)
+        if do_aug:
+            inp, label, valid = augment_example(
+                inp, label, jnp.asarray(valid), cfg.n_classes, self._aug_rng,
+                affine=cfg.affine, affine_value=cfg.affine_value,
+                elastic=cfg.elastic,
+                elastic_value_x=cfg.elastic_value_x,
+                elastic_value_y=cfg.elastic_value_y,
+                rotate_angle=angle, rot90_k=rot90_k,
+                page_hw=(h0, w0), out_hw=(hb, wb),
+            )
         return {
             "input": np.asarray(inp)[None],
             "label": np.asarray(label)[None],
-            "valid": valid[None],
+            "valid": np.asarray(valid)[None],
         }
 
     # ------------------------------------------------------------------

@@ -31,6 +31,14 @@ def main(argv=None):
     p.add_argument("--scale_min", type=float, default=2.0)
     p.add_argument("--scale_max", type=float, default=4.0)
     p.add_argument("--text_err", type=float, default=0.0)
+    # augmentation (reference kwargs_dat flags, data_generator_text.py:58-73)
+    p.add_argument("--affine", action="store_true")
+    p.add_argument("--affine_value", type=float, default=0.025)
+    p.add_argument("--elastic", action="store_true")
+    p.add_argument("--elastic_value_x", type=float, default=0.0002)
+    p.add_argument("--elastic_value_y", type=float, default=0.0002)
+    p.add_argument("--rotate", action="store_true")
+    p.add_argument("--rotate_mod90", action="store_true")
     p.add_argument("--feat_root", type=int, default=8)
     p.add_argument("--scale_space_num", type=int, default=6)
     p.add_argument("--res_depth", type=int, default=3)
@@ -47,6 +55,13 @@ def main(argv=None):
         scale_min=args.scale_min,
         scale_max=args.scale_max,
         text_err=args.text_err,
+        affine=args.affine,
+        affine_value=args.affine_value,
+        elastic=args.elastic,
+        elastic_value_x=args.elastic_value_x,
+        elastic_value_y=args.elastic_value_y,
+        rotate=args.rotate,
+        rotate_mod90=args.rotate_mod90,
     )
     train_paths = sorted(glob.glob(os.path.join(args.train_dir, "*.json")))
     val_paths = (
