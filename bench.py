@@ -86,16 +86,47 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     img_per_s = bs / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "train images/sec/chip (512^2 chargrid, 3-block MSAU)",
-                "value": round(img_per_s, 3),
-                "unit": "images/sec",
-                "vs_baseline": round(img_per_s / REFERENCE_TRAIN_IMG_PER_S, 2),
-            }
-        )
-    )
+    # p50 end-to-end serving latency (forward + on-device KV decode, bs=1,
+    # 512^2, 17 classes) — the BASELINE.md latency north star, printed
+    # alongside throughput (VERDICT round-1 weak #2)
+    p50_ms = None
+    if not quick:
+        from msau_tpu.infer.decode import decode_fields_device
+
+        x1 = x[:1]
+        line_id = jnp.asarray(rng.integers(0, 100, (hw, hw)), jnp.int32)
+        char_id = jnp.asarray(rng.integers(0, 30, (hw, hw)), jnp.int32)
+        ml = np.zeros(cfg.n_class, bool)
+        ml[[5, 11]] = True
+        ml = jnp.asarray(ml)
+        fwd = jax.jit(lambda p, v: model.apply(p, v)[0])
+
+        def serve():
+            pred = fwd(state.params, x1)[0]
+            out = decode_fields_device(
+                pred, line_id, char_id, ml,
+                n_class=cfg.n_class, num_lines=128, k=8, min_area=5,
+                max_iters=64,
+            )
+            return float(out["active"][2])  # device->host sync
+
+        serve()  # compile
+        lat = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            serve()
+            lat.append((time.perf_counter() - t0) * 1000)
+        p50_ms = float(np.median(lat))
+
+    result = {
+        "metric": "train images/sec/chip (512^2 chargrid, 3-block MSAU)",
+        "value": round(img_per_s, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_s / REFERENCE_TRAIN_IMG_PER_S, 2),
+    }
+    if p50_ms is not None:
+        result["p50_e2e_serve_ms"] = round(p50_ms, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -33,7 +33,12 @@ import numpy as np
 
 from msau_tpu.infer.reading_order import sort_box_reading_order
 from msau_tpu.infer.schema import FieldSchema
-from msau_tpu.ops.ccl import INF, component_stats, connected_components_jax
+from msau_tpu.ops.ccl import (
+    INF,
+    component_stats,
+    connected_components_jax,
+    connected_components_multiclass,
+)
 from msau_tpu.ops.morphology import r_closing
 
 
@@ -66,42 +71,52 @@ def decode_fields_device(
       line_overlap [C, L+1]      selected components touch line l
       comp_per_line[C, L+1]      #selected components touching line l
       char_min/max [C, L+1]      char-position extremes on line l (0 = none)
-      chosen       [C, H, W]     the new_pred_mask equivalent (bool)
+      chosen_class [H, W]        class id of each selected pixel (0 = none)
+
+    Implementation: the reference labels each class's closed mask
+    independently (kv_model.py:174-180); here ALL classes share one
+    multiclass labeling pass — per-class closed masks are reduced to an
+    ownership map (lowest class wins the 1-2 px gap pixels where two
+    classes' closings overlap, a contrived tie the reference double-counts)
+    and every later reduction is a single composite-id segment op over
+    (class/slot, line) buckets instead of a per-class vmap over the grid.
     """
     h, w = line_id.shape
+    hw1 = h * w + 1
+    c2 = n_class - 2          # classes 0/1 are never decoded (kv_model.py:174)
     pred_class = jnp.argmax(pred, axis=-1).astype(jnp.int32)
     lid_flat = line_id.reshape(-1)
     cid_flat = char_id.reshape(-1)
     nl = num_lines + 1
 
-    def per_class(c, is_multiline):
-        mask = pred_class == c
-        closed = r_closing(mask, (1, 3))
-        labels = connected_components_jax(closed, max_iters=max_iters)
-        stats = component_stats(labels)
-        count, area = stats["count"], stats["bbox_area"]
-        y1, x1, y2, x2 = stats["y1"], stats["x1"], stats["y2"], stats["x2"]
-        exists = (count > 0) & (
-            jnp.arange(count.shape[0], dtype=jnp.int32) > 0
-        )
+    # per-class closing (cheap reduce_windows), then one shared labeling
+    closed = jax.vmap(
+        lambda c: r_closing(pred_class == c, (1, 3))
+    )(jnp.arange(2, n_class, dtype=jnp.int32))              # [C2, H, W]
+    any_fg = jnp.any(closed, axis=0)
+    owner = jnp.argmax(closed, axis=0).astype(jnp.int32)    # first class wins
+    cls_map = jnp.where(any_fg, owner + 2, 0)
+    labels = connected_components_multiclass(cls_map, max_iters=max_iters)
+    stats = component_stats(labels)
+    count, area = stats["count"], stats["bbox_area"]
+    y1, x1, y2, x2 = stats["y1"], stats["x1"], stats["y2"], stats["x2"]
+    # root r sits at linear index r-1, so its class is cls_map.flat[r-1]
+    cls_of = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cls_map.reshape(-1)]
+    )                                                        # [HW+1]
+    exists = (count > 0) & (jnp.arange(hw1, dtype=jnp.int32) > 0)
 
-        # main component: largest bbox area, or topmost center for
-        # multi-line fields (kv_model.py:182-190)
-        ycenter2 = jnp.where(exists, y1 + y2, INF)  # 2*ycenter, monotone
-        area_key = jnp.where(exists, area, -1)
-        main_by_area = jnp.argmax(area_key)
-        main_by_top = jnp.argmin(ycenter2)
-        main = jnp.where(is_multiline, main_by_top, main_by_area)
-        active = exists[main] & (area[main] >= min_area)
-
-        # chosen mask: main + (multi-line) all alts with bbox area > min_area
-        alt_ok = exists & (area > min_area)
-        is_alt = alt_ok & (jnp.arange(area.shape[0]) != main) & is_multiline
-        chosen = active & ((labels == main) | is_alt[labels])
-
-        # top-k alt records for boxes_for_field (multi-line only)
-        alt_area = jnp.where(is_alt, area, 0)
-        alt_vals, alt_roots = jax.lax.top_k(alt_area, k)
+    def select(c, is_multiline):
+        """Component-table selection for one class — [HW+1] table math only,
+        no grid sweeps (kv_model.py:182-218 policy)."""
+        in_c = exists & (cls_of == c)
+        ycenter2 = jnp.where(in_c, y1 + y2, INF)  # 2*ycenter, monotone
+        area_key = jnp.where(in_c, area, -1)
+        main = jnp.where(is_multiline, jnp.argmin(ycenter2), jnp.argmax(area_key))
+        active = in_c[main] & (area[main] >= min_area)
+        alt_ok = in_c & (area > min_area)
+        is_alt = alt_ok & (jnp.arange(hw1) != main) & is_multiline
+        alt_vals, alt_roots = jax.lax.top_k(jnp.where(is_alt, area, 0), k)
         alt_valid = (alt_vals > 0) & active
         alt_bbox = jnp.stack(
             [x1[alt_roots], y1[alt_roots], x2[alt_roots], y2[alt_roots]], -1
@@ -110,65 +125,77 @@ def decode_fields_device(
         main_bbox = jnp.where(
             active, jnp.stack([x1[main], y1[main], x2[main], y2[main]]), 0
         )
-
-        # line overlap + per-line component counts + char extremes
-        ch_flat = chosen.reshape(-1)
-        seg = jnp.where(ch_flat, lid_flat, 0)
-        overlap_cnt = jax.ops.segment_sum(
-            ch_flat.astype(jnp.int32), seg, num_segments=nl
-        ).at[0].set(0)
-        line_overlap = overlap_cnt > 0
-
-        # count distinct chosen components per line.  One composite-id
-        # segment op instead of K+1 scatters: pixel -> (component slot,
-        # line) bucket, where slot 0 = main, 1..K = alts, K+1 = not chosen.
-        roots = jnp.concatenate([main[None], alt_roots])  # [K+1]
-        comp_valid = jnp.concatenate([active[None], alt_valid])
-        lbl = labels.reshape(-1)
-        slot = jnp.full_like(lbl, k + 1)
-        for si in range(k, -1, -1):  # earlier roots win ties (main first)
-            slot = jnp.where(lbl == roots[si], si, slot)
-        slot = jnp.where(ch_flat, slot, k + 1)
-        composite = slot * nl + jnp.where(ch_flat, lid_flat, 0)
-        bucket = jax.ops.segment_sum(
-            jnp.ones_like(composite), composite, num_segments=(k + 2) * nl
-        ).reshape(k + 2, nl)
-        per_comp = bucket[: k + 1] > 0                    # [K+1, L+1]
-        comp_per_line = jnp.sum(
-            per_comp & comp_valid[:, None], axis=0
-        ).at[0].set(0)
-
-        cid_masked = jnp.where(ch_flat & (cid_flat > 0), cid_flat, INF)
-        char_min = jax.ops.segment_min(cid_masked, seg, num_segments=nl)
-        char_min = jnp.where(char_min == INF, 0, char_min).at[0].set(0)
-        cid_masked0 = jnp.where(ch_flat, cid_flat, 0)
-        char_max = jax.ops.segment_max(cid_masked0, seg, num_segments=nl).at[0].set(0)
-
+        roots = jnp.concatenate([main[None], alt_roots])         # [K+1]
+        roots_valid = jnp.concatenate([active[None], alt_valid])
         return {
             "active": active,
             "main_bbox": main_bbox,
             "alt_bbox": alt_bbox,
             "alt_valid": alt_valid,
-            "line_overlap": line_overlap,
-            "comp_per_line": comp_per_line,
-            "char_min": char_min,
-            "char_max": char_max,
-            "chosen": chosen,
+            "roots": roots,
+            "roots_valid": roots_valid,
         }
 
-    # classes 0/1 (background + first key) are never decoded
-    # (kv_model.py:174) — and class 0's huge background components would
-    # dominate the vmapped CCL's iteration count, so they are excluded
-    # from the computation entirely, not just masked after.
-    out2 = jax.vmap(per_class)(
-        jnp.arange(2, n_class, dtype=jnp.int32), multiline[2:]
+    sel = jax.vmap(select)(jnp.arange(2, n_class, dtype=jnp.int32), multiline[2:])
+
+    # slot table: root -> global slot ci*(K+1)+j; sentinel = C2*(K+1)
+    n_slots = c2 * (k + 1)
+    flat_slots = jnp.arange(n_slots, dtype=jnp.int32)
+    roots_flat = sel["roots"].reshape(-1)
+    valid_flat = sel["roots_valid"].reshape(-1)
+    idxs = jnp.where(valid_flat, roots_flat, hw1)  # dump invalid past the end
+    slot_of_root = (
+        jnp.full((hw1 + 1,), n_slots, jnp.int32).at[idxs].min(flat_slots)[:hw1]
     )
+    slot_of_root = slot_of_root.at[0].set(n_slots)
+
+    lbl_flat = labels.reshape(-1)
+    slot_pix = slot_of_root[lbl_flat]                 # [HW]
+    chosen_flat = slot_pix < n_slots
+    class_ix = slot_pix // (k + 1)                    # class index (0-based)
+
+    # (class, line) reductions — one composite segment op each
+    seg_cl = jnp.where(chosen_flat, class_ix * nl + lid_flat, c2 * nl)
+    overlap_cnt = jax.ops.segment_sum(
+        jnp.ones_like(seg_cl), seg_cl, num_segments=c2 * nl + 1
+    )[: c2 * nl].reshape(c2, nl)
+    line_overlap = (overlap_cnt > 0).at[:, 0].set(False)
+
+    # distinct chosen components per line via (slot, line) buckets
+    seg_slot = jnp.where(chosen_flat, slot_pix * nl + lid_flat, n_slots * nl)
+    bucket = jax.ops.segment_sum(
+        jnp.ones_like(seg_slot), seg_slot, num_segments=n_slots * nl + 1
+    )[: n_slots * nl].reshape(c2, k + 1, nl)
+    comp_per_line = jnp.sum(bucket > 0, axis=1).at[:, 0].set(0)
+
+    cid_min_src = jnp.where(chosen_flat & (cid_flat > 0), cid_flat, INF)
+    char_min = jax.ops.segment_min(
+        cid_min_src, seg_cl, num_segments=c2 * nl + 1
+    )[: c2 * nl].reshape(c2, nl)
+    char_min = jnp.where(char_min == INF, 0, char_min).at[:, 0].set(0)
+    char_max = jax.ops.segment_max(
+        jnp.where(chosen_flat, cid_flat, 0), seg_cl, num_segments=c2 * nl + 1
+    )[: c2 * nl].reshape(c2, nl).at[:, 0].set(0)
+
+    chosen_class = jnp.where(
+        chosen_flat, class_ix + 2, 0
+    ).reshape(h, w).astype(jnp.int32)
 
     def pad_front(x):
         pad_shape = (2,) + x.shape[1:]
         return jnp.concatenate([jnp.zeros(pad_shape, x.dtype), x], axis=0)
 
-    return {key: pad_front(v) for key, v in out2.items()}
+    return {
+        "active": pad_front(sel["active"]),
+        "main_bbox": pad_front(sel["main_bbox"]),
+        "alt_bbox": pad_front(sel["alt_bbox"]),
+        "alt_valid": pad_front(sel["alt_valid"]),
+        "line_overlap": pad_front(line_overlap),
+        "comp_per_line": pad_front(comp_per_line),
+        "char_min": pad_front(char_min),
+        "char_max": pad_front(char_max),
+        "chosen_class": chosen_class,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -259,6 +286,10 @@ def extract_values(
         merged = _union(line_boxes)
         inter = _intersect(field_boxes + [merged])
         union = _union(field_boxes + [merged])
-        values[c] = FieldValue(value, [field_boxes[-1]], inter, union)
+        # committed reference keeps only the main component box
+        # (kv_model.py:255); all_component_boxes opts into the commented
+        # variant where every qualifying component box is reported
+        boxes_out = field_boxes if schema.all_component_boxes else [field_boxes[-1]]
+        values[c] = FieldValue(value, boxes_out, inter, union)
 
     return values

@@ -55,6 +55,8 @@ class KVModel:
         self.model = None
         self.params = None
         self.n_class = self.cfg.n_class
+        self._apply = None        # jitted probs-forward, built once per model
+        self._apply_model = None
 
     # ------------------------------------------------------------------
     def load(
@@ -94,6 +96,7 @@ class KVModel:
                 img_channels=self.charset.n_token, n_class=self.n_class
             )
         self.model = build_model(self.model_config)
+        self._apply = None
         if params is not None:
             self.params = params
         elif model_weight is not None:
@@ -106,6 +109,22 @@ class KVModel:
             restored = ckptr.restore(os.path.abspath(model_weight), ref)
             self.params = restored
         return self
+
+    # ------------------------------------------------------------------
+    def forward(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """Jitted final-activation forward, compiled once per model — NOT
+        per predict() call (a fresh jax.jit wrapper per request re-traces
+        every time and dominated round-1 serving latency)."""
+        if self._apply is None or self._apply_model is not self.model:
+            model = self.model
+
+            def _probs(params, x):
+                probs, _, _ = model.apply(params, x)
+                return probs
+
+            self._apply = jax.jit(_probs)
+            self._apply_model = model
+        return self._apply(params, x)
 
     # ------------------------------------------------------------------
     def rasterize(self, page: Page, buckets: Sequence[int] = (256, 512, 1024)):
@@ -148,8 +167,9 @@ class KVModel:
         page = data if isinstance(data, Page) else load_label_json_page(data)
         x, line_id, char_id, scaled_lines, progs = self.rasterize(page)
 
-        _, logits, _ = jax.jit(self.model.apply)(self.params, x[None])
-        pred = jax.nn.softmax(logits[0], axis=-1)
+        # final-activation output, matching the reference predict which
+        # decodes predictor(logits) (kv_model.py:305-309)
+        pred = self.forward(self.params, x[None])[0]
 
         num_lines = len(scaled_lines)
         multiline = np.zeros((self.n_class,), bool)
@@ -167,14 +187,15 @@ class KVModel:
             min_area=self.cfg.min_component_area,
             max_iters=self.cfg.max_ccl_iters,
         )
-        host = {k: np.asarray(v) for k, v in dev.items() if k != "chosen"}
+        host = {k: np.asarray(v) for k, v in dev.items() if k != "chosen_class"}
         values = extract_values(host, scaled_lines, self.schema)
         kv_results = post_process_kv(values, self.schema)
 
         extras = {
             "values": values,
             "pred": pred,
-            "chosen": dev["chosen"],
+            # [H, W] class id of selected pixels (new_pred_mask equivalent)
+            "chosen_class": dev["chosen_class"],
             "programs": progs,
             "scaled_lines": scaled_lines,
         }
@@ -222,11 +243,9 @@ class KVModel:
         ml = jnp.asarray(multiline)
 
         results: List = [None] * len(pages)
-        apply_fn = jax.jit(self.model.apply)
         for shape, items in groups.items():
             xb = jnp.stack([it[1] for it in items])
-            _, logits, _ = apply_fn(self.params, xb)
-            preds = jax.nn.softmax(logits, axis=-1)
+            preds = self.forward(self.params, xb)
             for (i, _, line_id, char_id, scaled), pred in zip(items, preds):
                 dev = decode_fields_device(
                     pred, line_id, char_id, ml,
@@ -236,7 +255,7 @@ class KVModel:
                     min_area=self.cfg.min_component_area,
                     max_iters=self.cfg.max_ccl_iters,
                 )
-                host = {k: np.asarray(v) for k, v in dev.items() if k != "chosen"}
+                host = {k: np.asarray(v) for k, v in dev.items() if k != "chosen_class"}
                 values = extract_values(host, scaled, self.schema)
                 results[i] = (post_process_kv(values, self.schema), values)
         return results

@@ -32,6 +32,12 @@ class FieldSchema:
     multiple_lines_fields: Tuple[int, ...] = (5, 11)
     non_count_overlap_fields: Tuple[int, ...] = ()
     contain_one_line_fields: Tuple[int, ...] = ()
+    # When True, FieldValue.boxes carries every qualifying component box of
+    # a multi-line field (each then counts toward num_pred in the field
+    # eval); False replays the committed reference, which keeps only the
+    # main component (kv_model.py:255 ``list_boxes = [boxes_for_field[c][-1]]``
+    # with the all-boxes variant left commented out).
+    all_component_boxes: bool = False
 
     @property
     def n_class(self) -> int:

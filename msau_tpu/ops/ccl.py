@@ -82,6 +82,70 @@ def connected_components_jax(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndar
     return labels
 
 
+def _shift(x: jnp.ndarray, axis: int, offset: int, fill) -> jnp.ndarray:
+    """x shifted by ``offset`` along ``axis`` (positive = toward higher
+    indices), vacated positions filled with ``fill``."""
+    pad = [(0, 0), (0, 0)]
+    if offset > 0:
+        pad[axis] = (offset, 0)
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(0, x.shape[axis])
+    else:
+        pad[axis] = (0, -offset)
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(-offset, x.shape[axis] - offset)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
+def _sweep_multiclass(labels: jnp.ndarray, cls: jnp.ndarray) -> jnp.ndarray:
+    """One propagation sweep where labels only merge between 4-neighbors of
+    the SAME class value (class 0 = background)."""
+    fg = cls > 0
+    vals = jnp.where(fg, labels, INF)
+    for axis in (1, 0):
+        prev = _shift(cls, axis, 1, -1)
+        nxt = _shift(cls, axis, -1, -1)
+        fwd = _segmented_min_scan(vals, cls != prev, axis=axis, reverse=False)
+        bwd = _segmented_min_scan(vals, cls != nxt, axis=axis, reverse=True)
+        vals = jnp.where(fg, jnp.minimum(vals, jnp.minimum(fwd, bwd)), INF)
+    return jnp.where(fg, vals, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def connected_components_multiclass(
+    cls: jnp.ndarray, max_iters: int = 64
+) -> jnp.ndarray:
+    """4-connected components of an int32 [H, W] class map in ONE labeling.
+
+    Pixels connect only to neighbors with the same class value (0 =
+    background).  Equivalent to running ``connected_components_jax`` on
+    every per-class mask, but all classes share the sweeps — the KV
+    decoder's per-class vmap cost C full-grid labelings, this costs one
+    (PERF.md round-2 roadmap #2).  Labels follow the same raster-first
+    root convention.
+    """
+    h, w = cls.shape
+    fg = cls > 0
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        + 1
+    )
+    labels0 = jnp.where(fg, idx, 0)
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = _sweep_multiclass(labels, cls)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.asarray(True), 0))
+    return labels
+
+
 @functools.partial(jax.jit, static_argnames=())
 def component_stats(labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Per-root stats over a [H, W] label map (root ids index a [H*W+1] table).

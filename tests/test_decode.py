@@ -177,6 +177,71 @@ class TestDecodeParity:
         assert got[2].text != text and got[3].text != text
 
 
+class TestMultiComponentBoxes:
+    def _case(self):
+        """Multi-line field with TWO disjoint components (two value lines
+        separated vertically)."""
+        schema_kw = dict(
+            class_names=tuple(f"c{i}" for i in range(6)),
+            multiple_lines_fields=(3,),
+        )
+        h, w = 64, 96
+        line_mask = np.zeros((h, w), np.int32)
+        char_mask = np.zeros((h, w), np.int32)
+        lines = []
+        for i, y in enumerate((8, 40)):
+            x1, y1, x2, y2 = 8, y, 72, y + 10
+            text = "line%dtext" % i
+            lines.append(Line(box=(x1, y1, x2, y2), text=text, id=i + 1))
+            line_mask[y1:y2, x1:x2] = i + 1
+            cw = (x2 - x1) / len(text)
+            for j in range(len(text)):
+                char_mask[y1:y2, int(x1 + j * cw): int(x1 + (j + 1) * cw)] = j + 1
+        pred = np.zeros((h, w, 6), np.float32)
+        pred[..., 0] = 1.0
+        for (x1, y1, x2, y2) in [l.box for l in lines]:
+            pred[y1:y2, x1:x2, :] = 0
+            pred[y1:y2, x1:x2, 3] = 1.0
+        return schema_kw, pred, line_mask, char_mask, lines
+
+    def test_committed_reference_keeps_main_box_only(self):
+        schema_kw, pred, line_mask, char_mask, lines = self._case()
+        schema = FieldSchema(**schema_kw)
+        dev = decode_fields_device(
+            jnp.asarray(pred), jnp.asarray(line_mask), jnp.asarray(char_mask),
+            jnp.asarray(np.arange(6) == 3), n_class=6, num_lines=128, k=8,
+        )
+        host = {k: np.asarray(v) for k, v in dev.items()}
+        got = extract_values(host, lines, schema)
+        # committed reference: list_boxes = [boxes_for_field[c][-1]]
+        assert len(got[3].boxes) == 1
+        # main = topmost center for multi-line fields
+        assert got[3].boxes[0] == [8, 8, 72, 18]
+        assert got[3].text == "line0text\nline1text"
+
+    def test_all_component_boxes_counts_each_in_eval(self):
+        schema_kw, pred, line_mask, char_mask, lines = self._case()
+        schema = FieldSchema(all_component_boxes=True, **schema_kw)
+        dev = decode_fields_device(
+            jnp.asarray(pred), jnp.asarray(line_mask), jnp.asarray(char_mask),
+            jnp.asarray(np.arange(6) == 3), n_class=6, num_lines=128, k=8,
+        )
+        host = {k: np.asarray(v) for k, v in dev.items()}
+        got = extract_values(host, lines, schema)
+        assert len(got[3].boxes) == 2
+        assert sorted(got[3].boxes) == [[8, 8, 72, 18], [8, 40, 72, 50]]
+        # eval: each qualifying component box counts toward num_pred
+        from msau_tpu.infer.evaluate import accumulate_field_eval
+
+        eval_results = [
+            {"num_pred": 0, "num_correct": 0, "num_label": 0} for _ in range(6)
+        ]
+        correct = {3: ([[8, 8, 72, 50], [8, 8, 72, 18], [8, 40, 72, 50]], "x")}
+        accumulate_field_eval(got, correct, eval_results, iou_threshold=0.7)
+        assert eval_results[3]["num_pred"] == 2
+        assert eval_results[3]["num_label"] == 1
+
+
 class TestReadingOrder:
     def test_top_left_first(self):
         mk = lambda b: {"box": b}

@@ -86,6 +86,37 @@ class TestCCL:
         self._check_equivalent(np.zeros((8, 8), bool))
         self._check_equivalent(np.ones((8, 8), bool))
 
+    def test_multiclass_matches_per_class_scipy(self, rng):
+        """One shared labeling == per-class scipy labelings (partitions and
+        raster-first root convention)."""
+        from msau_tpu.ops.ccl import connected_components_multiclass
+
+        for p in (0.3, 0.6):
+            cls = np.where(
+                rng.random((48, 64)) < p, rng.integers(1, 5, (48, 64)), 0
+            ).astype(np.int32)
+            got = np.asarray(connected_components_multiclass(jnp.asarray(cls)))
+            assert (got[cls == 0] == 0).all()
+            for c in range(1, 5):
+                m = cls == c
+                want, n = scipy_ndimage.label(m)
+                pairs = set(zip(got[m].tolist(), want[m].tolist()))
+                assert len(pairs) == n
+                assert len({g for g, _ in pairs}) == n
+                # touching different-class pixels never merge
+                assert set(np.unique(got[m])) .isdisjoint(np.unique(got[(cls > 0) & ~m]))
+
+    def test_multiclass_adjacent_classes_stay_separate(self):
+        from msau_tpu.ops.ccl import connected_components_multiclass
+
+        cls = np.zeros((6, 10), np.int32)
+        cls[:, :5] = 1
+        cls[:, 5:] = 2
+        got = np.asarray(connected_components_multiclass(jnp.asarray(cls)))
+        assert len(np.unique(got[cls == 1])) == 1
+        assert len(np.unique(got[cls == 2])) == 1
+        assert got[0, 0] != got[0, 9]
+
     def test_stats_match_find_objects(self, rng):
         mask = rand_mask(rng, 32, 32, 0.4)
         labels = np.asarray(connected_components_jax(jnp.asarray(mask)))
