@@ -227,14 +227,51 @@ def bow_features(texts: Sequence[str], vocab: Optional[Dict[str, int]] = None):
     return mat, vocab
 
 
+def char_ngram_features(
+    texts: Sequence[str],
+    dim: int = 768,
+    n_buckets: int = 4096,
+    ngram_sizes: Tuple[int, ...] = (1, 2, 3),
+) -> np.ndarray:
+    """Deterministic character-ngram embedding (the documented local
+    fallback for the BERT feature variant).
+
+    Hash-bucketed char 1/2/3-gram counts projected to ``dim`` with a fixed
+    Gaussian matrix and L2-normalized — similar strings map to nearby
+    vectors, unlike per-text random noise.  Hashing uses crc32, so features
+    are stable across processes (Python's ``hash`` is salted per run).
+    """
+    import zlib
+
+    counts = np.zeros((len(texts), n_buckets), np.float32)
+    for i, t in enumerate(texts):
+        s = f"\x02{t}\x03"  # boundary markers
+        for n in ngram_sizes:
+            for j in range(len(s) - n + 1):
+                b = zlib.crc32(s[j : j + n].encode("utf-8")) % n_buckets
+                counts[i, b] += 1.0
+    proj = np.random.default_rng(777).standard_normal(
+        (n_buckets, dim)
+    ).astype(np.float32) / np.sqrt(n_buckets)
+    feats = counts @ proj
+    norm = np.linalg.norm(feats, axis=1, keepdims=True)
+    return feats / np.maximum(norm, 1e-8)
+
+
 def sentence_embedding_features(
-    texts: Sequence[str], model_name: str = "bert-base-nli-mean-tokens", dim: int = 768
+    texts: Sequence[str],
+    model_name: str = "bert-base-nli-mean-tokens",
+    dim: int = 768,
+    return_backend: bool = False,
 ):
     """Sentence-embedding features (getitem_box_bert equivalent).
 
     Tries a local transformers model; in zero-egress environments falls
-    back to deterministic hashed random features of the same width so the
-    pipeline stays runnable.
+    back to :func:`char_ngram_features` — a deterministic char-ngram
+    projection of the same width (documented, not hashed noise), so the
+    pipeline stays runnable AND the features stay meaningful.  Pass
+    ``return_backend=True`` to learn which backend produced the features
+    (benchmarks label their output with it).
     """
     try:  # pragma: no cover - depends on local model availability
         from transformers import AutoModel, AutoTokenizer
@@ -245,10 +282,7 @@ def sentence_embedding_features(
         with torch.no_grad():
             enc = tok(list(texts), padding=True, truncation=True, return_tensors="pt")
             out = mdl(**enc).last_hidden_state.mean(1)
-        return out.numpy()
+        feats, backend = out.numpy(), model_name
     except Exception:
-        feats = np.zeros((len(texts), dim), np.float32)
-        for i, t in enumerate(texts):
-            rng = np.random.default_rng(abs(hash(t)) % (2**31))
-            feats[i] = rng.standard_normal(dim).astype(np.float32)
-        return feats
+        feats, backend = char_ngram_features(texts, dim=dim), "char-ngram"
+    return (feats, backend) if return_backend else feats

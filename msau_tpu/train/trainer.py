@@ -204,24 +204,33 @@ class Trainer:
 
         history = {"train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}
         best_val = float("inf")
+        next_batch = data_provider.next_data("train")
         for epoch in range(epochs):
             t0 = time.time()
-            agg: Dict[str, float] = {}
+            agg: Dict[str, jnp.ndarray] = {}
             n_steps = 0
+            if next_batch is None:  # retry once per epoch, as the old
+                next_batch = data_provider.next_data("train")  # loop did
             for _ in range(steps):
-                batch = data_provider.next_data("train")
+                batch = next_batch
                 if batch is None:
                     break
                 state, metrics = self.train_step(self.state, self.put_batch(batch))
                 self.state = state
                 n_steps += 1
+                # fetch/generate the NEXT batch while the dispatched step
+                # runs on device; metrics stay device-side (no float() sync
+                # inside the loop) so generation overlaps compute — the
+                # reference at least overlapped via producer threads
+                # (data_generator_funsd.py:161-174)
+                next_batch = data_provider.next_data("train")
                 for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                    agg[k] = agg[k] + v if k in agg else v
             if n_steps == 0:
                 log_fn("No training data available; stopping.")
                 break
-            train_loss = agg.get("loss", 0.0) / n_steps
-            train_acc = agg.get("accuracy", 0.0) / n_steps
+            train_loss = float(agg.get("loss", 0.0)) / n_steps
+            train_acc = float(agg.get("accuracy", 0.0)) / n_steps
             history["train_loss"].append(train_loss)
             history["train_acc"].append(train_acc)
             log_fn(
@@ -271,24 +280,37 @@ class Trainer:
                 self.save(os.path.join(output_path, f"model{epoch + 1}"))
         if metrics_logger:
             metrics_logger.close()
+        self.wait_for_checkpoints()
         return history
 
     # ------------------------------------------------------------------
     # orbax checkpointing with full train-state resume
     # ------------------------------------------------------------------
-    def save(self, path: str) -> None:
-        import orbax.checkpoint as ocp
+    def _checkpointer(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
 
-        path = os.path.abspath(path)
-        ckpt = ocp.StandardCheckpointer()
-        ckpt.save(path, self.state, force=True)
-        ckpt.wait_until_finished()
+            self._ckpt_mgr = ocp.StandardCheckpointer()
+        return self._ckpt_mgr
+
+    def save(self, path: str, wait: bool = False) -> None:
+        """Async by default: orbax stages a device->host copy synchronously
+        (safe against the next donated step mutating the buffers) and writes
+        to disk in the background while training continues.  ``wait=True``
+        blocks until the checkpoint is durable."""
+        ckpt = self._checkpointer()
+        ckpt.save(os.path.abspath(path), self.state, force=True)
+        if wait:
+            ckpt.wait_until_finished()
+
+    def wait_for_checkpoints(self) -> None:
+        if self._ckpt_mgr is not None:
+            self._ckpt_mgr.wait_until_finished()
 
     def restore(self, path: str) -> TrainState:
-        import orbax.checkpoint as ocp
-
         path = os.path.abspath(path)
         assert self.state is not None, "init_state() before restore for structure"
-        ckpt = ocp.StandardCheckpointer()
+        ckpt = self._checkpointer()
+        ckpt.wait_until_finished()  # a pending async save may target `path`
         self.state = ckpt.restore(path, self.state)
         return self.state

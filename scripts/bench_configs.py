@@ -128,8 +128,14 @@ def config_3(quick):
         feat_root=8, num_blocks=3, remat=True,
     )
     v = time_train(cfg, bs, hw, iters=3 if quick else 10)
+    # label which embedding backend actually produces the 768 text channels
+    # in this environment (a local BERT, or the documented char-ngram
+    # fallback) — the bench itself measures the 832-channel fused model
+    from msau_tpu.data.wordgrid import sentence_embedding_features
+
+    _, backend = sentence_embedding_features(["probe"], return_backend=True)
     return {
-        "metric": "config3 train img/s (256^2 chargrid+BERT 832ch)",
+        "metric": f"config3 train img/s (256^2 chargrid+text-emb[{backend}] 832ch)",
         "value": round(v, 3),
         "unit": "images/sec",
     }

@@ -99,6 +99,21 @@ class TestBoxFeatures:
         assert mat[0, vocab["hello"]] == 1
 
     def test_sentence_embeddings_fallback(self):
-        feats = wg.sentence_embedding_features(["a", "b", "a"], dim=16)
+        feats, backend = wg.sentence_embedding_features(
+            ["a", "b", "a"], dim=16, return_backend=True
+        )
         assert feats.shape == (3, 16)
+        assert backend  # benchmark labeling requires a backend name
         np.testing.assert_array_equal(feats[0], feats[2])  # deterministic
+
+    def test_char_ngram_features_are_meaningful(self):
+        """Fallback embeddings carry string similarity, not hashed noise:
+        near-identical strings land closer than unrelated ones."""
+        feats = wg.char_ngram_features(
+            ["account number", "account numbre", "xyzzy qwerty"], dim=64
+        )
+        # unit-normalized
+        np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)
+        sim_close = feats[0] @ feats[1]
+        sim_far = feats[0] @ feats[2]
+        assert sim_close > sim_far + 0.3
