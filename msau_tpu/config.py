@@ -47,6 +47,9 @@ class ModelConfig:
     dtype: str = "float32"             # compute dtype: "float32" | "bfloat16"
     attention_impl: str = "auto"       # "auto" | "xla" | "pallas"
     remat: bool = False                # jax.checkpoint each U-Net stage
+    flat_scales: int = 0               # shallow scales in channel-major flat
+                                       # layout (Pallas convs, ops/flatconv);
+                                       # 0 = all-NHWC
 
     # ------------------------------------------------------------------
     # reference `model_kwargs.json` compatibility

@@ -1,0 +1,90 @@
+"""Body-flat (channel-major) counterparts of the layer library.
+
+These modules compute on the flat W-on-lanes layout of
+``msau_tpu.ops.flatconv`` while creating parameters with exactly the same
+names, shapes and initializers as their NHWC counterparts in
+``msau_tpu.models.layers`` — so a checkpoint trained either way loads into
+both, and the layout is a pure runtime choice (``ModelConfig.flat_scales``).
+
+Used for the shallow U-Net scales where feat_root-sized channel counts
+(8/16) waste 16x HBM traffic in XLA's NHWC lane layout (see
+ops/flatconv.py and PERF.md).  Reference layer semantics:
+model/layers/layers.py:10-164,207-260.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from msau_tpu.ops.flatconv import (
+    FlatGeom,
+    choose_geom,
+    flat_conv2d,
+)
+
+Dtype = object
+
+
+def make_scale_geoms(h: int, w: int, n_scales: int, itemsize: int,
+                     pool: int = 2) -> List[FlatGeom]:
+    """Geometries for scales 0..n_scales-1 (SAME-pool halving each scale)."""
+    geoms = []
+    for _ in range(n_scales):
+        geoms.append(choose_geom(h, w, itemsize=itemsize))
+        h = -(-h // pool)
+        w = -(-w // pool)
+    return geoms
+
+
+def nhwc_to_body(x: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
+    from msau_tpu.ops.flatconv import to_body
+
+    return to_body(jnp.transpose(x, (0, 3, 1, 2)), geom)
+
+
+def body_to_nhwc(x_body: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
+    from msau_tpu.ops.flatconv import from_body
+
+    return jnp.transpose(from_body(x_body, geom), (0, 2, 3, 1))
+
+
+def flat_eligible(cin: int, kh: int, kw: int, geom: FlatGeom,
+                  itemsize: int, budget: int = 8 * 2**20) -> bool:
+    """Does the tap-stack scratch fit VMEM at this geometry's smallest tile?"""
+    ts = [t for t in range(1, geom.tile_h + 1)
+          if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
+    t_min = min(ts)
+    return kh * kw * cin * t_min * geom.Wp * itemsize <= budget
+
+
+class FlatConvOp(nn.Module):
+    """Parameter-compatible stand-in for ``nn.Conv`` on body tensors.
+
+    Instantiate with ``name='Conv_0'`` inside ConvBnLrnDrop-style modules so
+    the param tree matches the NHWC branch exactly.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    dilation: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x_body: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
+        from msau_tpu.models.layers import tf_bias_init, tf_conv_kernel_init
+
+        cin = x_body.shape[1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            tf_conv_kernel_init(kh, kw, cin, self.features),
+            (kh, kw, cin, self.features),
+        )
+        bias = self.param("bias", tf_bias_init(), (self.features,))
+        dtype = self.dtype or x_body.dtype
+        return flat_conv2d(
+            x_body.astype(dtype), kernel, bias, geom, dilation=self.dilation
+        )

@@ -102,9 +102,29 @@ class ConvBnLrnDrop(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 geom=None) -> jnp.ndarray:
         kh, kw = self.kernel_size
+        if geom is not None:
+            # body-flat branch (x: [N, C, LB]); param tree matches nn.Conv
+            from msau_tpu.models.flat_layers import FlatConvOp
+            from msau_tpu.ops.flatconv import body_lrn
+
+            assert not self.use_bn and self.strides == (1, 1)
+            y = FlatConvOp(
+                features=self.features, kernel_size=self.kernel_size,
+                dtype=self.dtype, name="Conv_0",
+            )(x, geom)
+            act = get_activation(self.activation)
+            if act is not None:
+                y = act(y)
+            if self.use_lrn:
+                y = body_lrn(y, size=self.features)
+            if self.keep_prob < 1.0:
+                y = nn.Dropout(rate=1.0 - self.keep_prob,
+                               deterministic=not train)(y)
+            return y
+        cin = x.shape[-1]
         y = nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -145,9 +165,28 @@ class DilConvBnLrnDrop(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 geom=None) -> jnp.ndarray:
         kh, kw = self.kernel_size
+        if geom is not None:
+            from msau_tpu.models.flat_layers import FlatConvOp
+            from msau_tpu.ops.flatconv import body_lrn
+
+            assert not self.use_bn
+            y = FlatConvOp(
+                features=self.features, kernel_size=self.kernel_size,
+                dilation=self.rate, dtype=self.dtype, name="Conv_0",
+            )(x, geom)
+            act = get_activation(self.activation)
+            if act is not None:
+                y = act(y)
+            if self.use_lrn:
+                y = body_lrn(y, size=self.features)
+            if self.keep_prob < 1.0:
+                y = nn.Dropout(rate=1.0 - self.keep_prob,
+                               deterministic=not train)(y)
+            return y
+        cin = x.shape[-1]
         y = nn.Conv(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -192,8 +231,10 @@ class DeconvBnLrnDrop(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, target_hw: Tuple[int, int]) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, target_hw: Tuple[int, int],
+                 *, geom_in=None, geom_out=None) -> jnp.ndarray:
+        flat = geom_in is not None
+        cin = x.shape[1] if flat else x.shape[-1]
         kh, kw = self.kernel_size
         s = self.stride
         # reference stddev uses kernel_shape=[kh, kw, out, in] (layers.py:217)
@@ -205,13 +246,31 @@ class DeconvBnLrnDrop(nn.Module):
         bias = self.param("bias", tf_bias_init(), (self.features,))
         ph, pw = kh // 2, kw // 2
         th, tw = target_hw
-        h, w = x.shape[1], x.shape[2]
+        h, w = (geom_in.H, geom_in.W) if flat else (x.shape[1], x.shape[2])
         base_h = (h - 1) * s - 2 * ph + kh
         base_w = (w - 1) * s - 2 * pw + kw
         oph, opw = th - base_h, tw - base_w
         assert 0 <= oph < s and 0 <= opw < s, (
             f"target {target_hw} unreachable from {(h, w)} with stride {s}"
         )
+        if flat:
+            # body-flat path: zero-insert onto the target canvas, then a
+            # plain SAME conv — for odd k and p=(k-1)/2 the trailing zero
+            # rows/cols of the canvas reproduce exactly the output_padding
+            # semantics of the torch ConvTranspose2d emulation below.
+            from msau_tpu.ops.flatconv import body_lrn, body_upsample2, flat_conv2d
+
+            assert kh % 2 == 1 and kw % 2 == 1 and s == 2
+            assert (geom_out.H, geom_out.W) == (th, tw)
+            dtype = self.dtype or x.dtype
+            up = body_upsample2(x.astype(dtype), geom_in, geom_out)
+            y = flat_conv2d(up, kernel, bias, geom_out)
+            act = get_activation(self.activation)
+            if act is not None:
+                y = act(y)
+            if self.use_lrn:
+                y = body_lrn(y, size=self.features)
+            return y
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
@@ -243,7 +302,8 @@ class MultiConvResidualBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 geom=None) -> jnp.ndarray:
         orig = x
         y = jax.nn.relu(x)
         k = (self.filter_size, self.filter_size)
@@ -254,7 +314,7 @@ class MultiConvResidualBlock(nn.Module):
                 kernel_size=k,
                 activation=act,
                 dtype=self.dtype,
-            )(y, train=train)
+            )(y, train=train, geom=geom)
         y = y + orig
         act = get_activation(self.activation)
         if act is not None:

@@ -87,6 +87,8 @@ class DownSamplingUNetBlock(nn.Module):
     block_variant: str = "conv"
     box_cfg: Optional[dict] = None
     use_lrn: bool = True
+    flat_scales: int = 0
+    geoms: Optional[tuple] = None  # static FlatGeom tuple for scales 0..fs
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -99,19 +101,54 @@ class DownSamplingUNetBlock(nn.Module):
     ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
         if self.use_prev_coupled:
             assert prev_dw_h_convs is not None, "coupled stage needs previous tower"
+        fs = self.flat_scales
+        geoms = self.geoms
         dw_h_convs: List[jnp.ndarray] = []
         k = (self.filter_size, self.filter_size)
         feats = self.feat_root
         for layer in range(self.scale_space_num):
-            y = DilConvBnLrnDrop(
-                features=feats,
-                kernel_size=k,
-                rate=self.pool_size ** layer,
-                activation=None,
-                use_lrn=self.use_lrn,
-                dtype=self.dtype,
-                name=f"dil_conv_{layer}",
-            )(x, train=train)
+            flat = layer < fs
+            geom = geoms[layer] if flat else None
+            if flat and x.ndim == 4:
+                # NHWC input whose channel count is too wide for the flat
+                # kernels (block-0 chargrid): conv in XLA, then reshape.
+                from msau_tpu.models.flat_layers import (
+                    flat_eligible,
+                    nhwc_to_body,
+                )
+
+                itemsize = 2 if self.dtype == jnp.bfloat16 else 4
+                if not flat_eligible(x.shape[-1], k[0], k[1], geom, itemsize):
+                    x = DilConvBnLrnDrop(
+                        features=feats,
+                        kernel_size=k,
+                        rate=self.pool_size ** layer,
+                        activation=None,
+                        use_lrn=self.use_lrn,
+                        dtype=self.dtype,
+                        name=f"dil_conv_{layer}",
+                    )(x, train=train)
+                    y = nhwc_to_body(x, geom)
+                else:
+                    y = DilConvBnLrnDrop(
+                        features=feats,
+                        kernel_size=k,
+                        rate=self.pool_size ** layer,
+                        activation=None,
+                        use_lrn=self.use_lrn,
+                        dtype=self.dtype,
+                        name=f"dil_conv_{layer}",
+                    )(nhwc_to_body(x, geom), train=train, geom=geom)
+            else:
+                y = DilConvBnLrnDrop(
+                    features=feats,
+                    kernel_size=k,
+                    rate=self.pool_size ** layer,
+                    activation=None,
+                    use_lrn=self.use_lrn,
+                    dtype=self.dtype,
+                    name=f"dil_conv_{layer}",
+                )(x, train=train, geom=geom)
             y = _make_res_block(
                 self.block_variant,
                 feats,
@@ -121,21 +158,24 @@ class DownSamplingUNetBlock(nn.Module):
                 self.dtype,
                 f"res_block_{layer}",
                 self.box_cfg,
-            )(y, train=train)
+            )(y, train=train, **({"geom": geom} if flat else {}))
             if self.use_prev_coupled:
-                y = jnp.concatenate([prev_dw_h_convs[layer], y], axis=-1)
+                y = jnp.concatenate(
+                    [prev_dw_h_convs[layer], y], axis=1 if flat else -1
+                )
                 y = ConvBnLrnDrop(
                     features=feats,
                     kernel_size=(1, 1),
                     activation=self.activation,
                     dtype=self.dtype,
                     name=f"couple_conv_{layer}",
-                )(y, train=train)
+                )(y, train=train, geom=geom)
             if layer > self.scale_space_num - 2:  # deepest scale only
                 # Reference dataflow (model/model.py:149-160): the attention
                 # output is stored in dw_h_convs (it feeds the NEXT stage's
                 # down-coupling) while the up tower receives the
                 # PRE-attention tensor.
+                assert not flat, "deepest (attention) scale must stay NHWC"
                 dw_h_convs.append(
                     SelfAttentionBlock(
                         input_channels=feats,
@@ -147,12 +187,22 @@ class DownSamplingUNetBlock(nn.Module):
             else:
                 dw_h_convs.append(y)
             if layer < self.scale_space_num - 1:
-                x = nn.max_pool(
-                    y,
-                    window_shape=(self.pool_size, self.pool_size),
-                    strides=(self.pool_size, self.pool_size),
-                    padding="SAME",
-                )
+                if flat:
+                    from msau_tpu.models.flat_layers import body_to_nhwc
+                    from msau_tpu.ops.flatconv import body_maxpool2
+
+                    pooled = body_maxpool2(y, geom, geoms[layer + 1])
+                    if layer + 1 < fs:
+                        x = pooled
+                    else:
+                        x = body_to_nhwc(pooled, geoms[layer + 1])
+                else:
+                    x = nn.max_pool(
+                        y,
+                        window_shape=(self.pool_size, self.pool_size),
+                        strides=(self.pool_size, self.pool_size),
+                        padding="SAME",
+                    )
             else:
                 x = y
             feats *= self.pool_size
@@ -171,6 +221,8 @@ class UpSamplingUNetBlock(nn.Module):
     use_prev_coupled: bool
     block_variant: str = "conv"
     box_cfg: Optional[dict] = None
+    flat_scales: int = 0
+    geoms: Optional[tuple] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -184,28 +236,48 @@ class UpSamplingUNetBlock(nn.Module):
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         if self.use_prev_coupled:
             assert prev_up_h_convs is not None, "coupled stage needs previous up tower"
+        fs = self.flat_scales
+        geoms = self.geoms
         k = (self.filter_size, self.filter_size)
         up_h_convs: List[Optional[jnp.ndarray]] = [None] * (self.scale_space_num - 1)
         feats = self.act_feat_num
         for layer in range(self.scale_space_num - 2, -1, -1):
+            flat = layer < fs
+            geom = geoms[layer] if flat else None
             skip = dw_h_convs[layer]
-            target_hw = (skip.shape[1], skip.shape[2])
-            y = DeconvBnLrnDrop(
-                features=feats,
-                kernel_size=k,
-                stride=self.pool_size,
-                activation=None,
-                dtype=self.dtype,
-                name=f"deconv_{layer}",
-            )(x, target_hw)
-            y = jnp.concatenate([skip, y], axis=-1)
+            if flat:
+                from msau_tpu.models.flat_layers import nhwc_to_body
+
+                if x.ndim == 4:  # crossing NHWC -> flat (layer == fs-1)
+                    x = nhwc_to_body(x, geoms[layer + 1])
+                target_hw = (geom.H, geom.W)
+                y = DeconvBnLrnDrop(
+                    features=feats,
+                    kernel_size=k,
+                    stride=self.pool_size,
+                    activation=None,
+                    dtype=self.dtype,
+                    name=f"deconv_{layer}",
+                )(x, target_hw, geom_in=geoms[layer + 1], geom_out=geom)
+                y = jnp.concatenate([skip, y], axis=1)
+            else:
+                target_hw = (skip.shape[1], skip.shape[2])
+                y = DeconvBnLrnDrop(
+                    features=feats,
+                    kernel_size=k,
+                    stride=self.pool_size,
+                    activation=None,
+                    dtype=self.dtype,
+                    name=f"deconv_{layer}",
+                )(x, target_hw)
+                y = jnp.concatenate([skip, y], axis=-1)
             y = ConvBnLrnDrop(
                 features=feats,
                 kernel_size=k,
                 activation=None,
                 dtype=self.dtype,
                 name=f"merge_conv_{layer}",
-            )(y, train=train)
+            )(y, train=train, geom=geom)
             y = _make_res_block(
                 self.block_variant,
                 feats,
@@ -215,16 +287,18 @@ class UpSamplingUNetBlock(nn.Module):
                 self.dtype,
                 f"res_block_{layer}",
                 self.box_cfg,
-            )(y, train=train)
+            )(y, train=train, **({"geom": geom} if flat else {}))
             if self.use_prev_coupled:
-                y = jnp.concatenate([prev_up_h_convs[layer], y], axis=-1)
+                y = jnp.concatenate(
+                    [prev_up_h_convs[layer], y], axis=1 if flat else -1
+                )
                 y = ConvBnLrnDrop(
                     features=feats,
                     kernel_size=(1, 1),
                     activation=self.activation,
                     dtype=self.dtype,
                     name=f"couple_conv_{layer}",
-                )(y, train=train)
+                )(y, train=train, geom=geom)
             up_h_convs[layer] = y
             x = y
             feats //= self.pool_size
@@ -247,6 +321,8 @@ class UNetBlock(nn.Module):
     use_lstm: bool = False
     use_spn: bool = False
     use_lrn: bool = True
+    flat_scales: int = 0
+    geoms: Optional[tuple] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -270,6 +346,8 @@ class UNetBlock(nn.Module):
             block_variant=self.block_variant,
             box_cfg=self.box_cfg,
             use_lrn=self.use_lrn,
+            flat_scales=self.flat_scales,
+            geoms=self.geoms,
             dtype=self.dtype,
             name="down",
         )(x, prev_dw_h_convs, train=train)
@@ -315,6 +393,8 @@ class UNetBlock(nn.Module):
             use_prev_coupled=self.use_prev_coupled,
             block_variant=self.block_variant,
             box_cfg=self.box_cfg,
+            flat_scales=self.flat_scales,
+            geoms=self.geoms,
             dtype=self.dtype,
             name="up",
         )(dw_h_convs, deepest, prev_up_h_convs, train=train)
@@ -340,6 +420,30 @@ class MSAUNet(nn.Module):
             "num_box_per_channel": cfg.num_box_per_channel,
             "max_box_size": cfg.max_box_size,
         }
+        fs = cfg.flat_scales
+        geoms = None
+        if fs:
+            # channel-major flat layout on the shallow scales (ops/flatconv):
+            # geometries are static functions of the input resolution.
+            from msau_tpu.models.flat_layers import (
+                body_to_nhwc,
+                make_scale_geoms,
+            )
+
+            assert fs <= cfg.scale_space_num - 1, (
+                "the deepest (attention) scale must stay NHWC"
+            )
+            assert self.block_variant == "conv" and not cfg.use_spn
+            itemsize = 2 if dtype == jnp.bfloat16 else 4
+            try:
+                geoms = tuple(make_scale_geoms(
+                    x.shape[1], x.shape[2], fs + 1, itemsize, cfg.pool_size
+                ))
+            except ValueError:
+                # no 128-aligned flat tiling exists at this resolution
+                # (e.g. odd widths): fall back to the all-NHWC layout.
+                fs = 0
+                geoms = None
         prev_dw = None
         prev_up = None
         logits_aux = None
@@ -361,6 +465,8 @@ class MSAUNet(nn.Module):
                 use_lrn=cfg.use_lrn,
                 # SPN only on the last stage (model/model.py:365-368)
                 use_spn=cfg.use_spn and block_id == cfg.num_blocks - 1,
+                flat_scales=fs,
+                geoms=geoms,
                 dtype=dtype,
                 name=f"block_{block_id}",
             )
@@ -371,9 +477,13 @@ class MSAUNet(nn.Module):
                 activation=None,
                 dtype=dtype,
                 name=f"end_conv_{block_id}",
-            )(out, train=train)
+            )(out, train=train, geom=geoms[0] if fs else None)
             if block_id == cfg.num_blocks - 2:
                 logits_aux = out
+        if fs:
+            out = body_to_nhwc(out, geoms[0])
+            if logits_aux is not None:
+                logits_aux = body_to_nhwc(logits_aux, geoms[0])
         logits = out.astype(jnp.float32)
         if logits_aux is None:
             logits_aux = logits

@@ -1,0 +1,487 @@
+"""Flat channel-major conv kernels for shallow (C << 128) U-Net scales.
+
+Why this exists
+---------------
+XLA:TPU stores conv activations with the channel axis on the 128-wide lane
+dimension.  At the MSAU shallow scales (feat_root=8..16 channels) that pads
+8/128 lanes, inflating HBM traffic ~16x — the flagship train step moves
+192 GB/step and is bandwidth-bound (PERF.md).  Measured on-chip: one
+512^2 8->8 conv costs 5.2 ms / 2.28 GB in any XLA formulation
+(scripts/exp_shallow_conv.py), vs ~140 MB of logical data.
+
+The fix is a layout XLA cannot pick: put **W on the lane axis** and C on
+sublanes.  Activations live in "body-flat" form
+
+    x_body : [N, C, LB]   LB = (n_h + 2) * S,  S = tile_h * Wp,
+    Wp = W + 2P (P = halo budget), n_h = H / tile_h
+
+i.e. H*W pixels in row-major rows of width Wp (real pixels at columns
+[0, W), zeros at [W, Wp)), preceded and followed by one *guard block* of
+S zeros.  Real pixel (h, w) sits at flat index S + h*Wp + w.
+
+The guard blocks and zero pad columns make every conv window an in-bounds
+flat slice: the vertical halo of the first/last rows falls in the guards,
+and the horizontal halo of each row falls in the zero pad columns of the
+neighbouring rows.  A conv is then, per (batch, row-block) grid step:
+
+    1. one lane-offset slice per kernel tap (KH*KW slices, all Cin rows at
+       once) into a stacked buffer  xs : [KH*KW*Cin, TILE*Wp]
+    2. ONE matmul  w2[KH*KW*Cin, Cout]^T @ xs  on the MXU
+    3. bias + pad-column re-zeroing epilogue (precomputed mask operand)
+
+Guard output blocks are written as zeros by the same kernel, so the layout
+invariant (guards and pad columns are exactly 0) is closed under every op
+in the tower: convs re-establish it, and the elementwise ops between them
+(relu/elu, LRN, residual add, concat, dropout) all map 0 -> 0.
+
+Backward is two more Pallas kernels of the same shape: dx is the transposed
+conv (flipped/transposed taps), dw is one [R, L] x [L, Cout] matmul per tile
+accumulated into a revisited output block.
+
+Mosaic notes (all discovered on-chip, jax 0.9.0 / v5e):
+  * overlapping windows need ``pl.Element`` dims; a spec must be all
+    Element/Squeezed or all Blocked;
+  * element offsets on the lane dim must be provably 128-divisible: we
+    constrain tile*Wp % 128 == 0 so every window start shares one static
+    misalignment that is folded into the in-kernel tap offsets, and wrap
+    the index in ``pl.multiple_of(.., 128)`` (the prover fails on mul+add);
+  * Element low padding is unsupported — hence guard blocks, not OOB pads.
+
+Replaces the shallow-scale instances of the reference conv stack
+(reference: model/layers/layers.py:10-164 run via cuDNN); deep scales stay
+on XLA's native NHWC conv where lane padding is harmless.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+DEFAULT_P = 2  # covers 3x3 d<=2, 4x4 d=1 and their transposed grads
+
+
+class FlatGeom(NamedTuple):
+    """Geometry of a body-flat tensor (one per U-Net scale)."""
+
+    H: int
+    W: int
+    P: int
+    tile_h: int  # rows per guard block; tile_h*Wp % 128 == 0, tile_h | H
+
+    @property
+    def Wp(self) -> int:
+        return self.W + 2 * self.P
+
+    @property
+    def S(self) -> int:  # guard block length
+        return self.tile_h * self.Wp
+
+    @property
+    def n_h(self) -> int:
+        return self.H // self.tile_h
+
+    @property
+    def LB(self) -> int:  # total flat length incl. guard blocks
+        return (self.n_h + 2) * self.S
+
+
+def choose_geom(h: int, w: int, *, min_p: int = DEFAULT_P,
+                max_cin: int = 32, max_k: int = 3, itemsize: int = 2,
+                budget: int = 6 * 2**20) -> FlatGeom:
+    """Pick (P, tile_h): smallest halo with a feasible, budget-fitting tile."""
+    r = max_k * max_k * max_cin
+    for p in range(min_p, min_p + 129):
+        wp = w + 2 * p
+        best = 0
+        for t in range(1, h + 1):
+            if h % t or (t * wp) % 128:
+                continue
+            if r * t * wp * itemsize <= budget or best == 0:
+                best = t
+        if best:
+            return FlatGeom(h, w, p, best)
+    raise ValueError(f"no feasible flat geometry for H={h}, W={w}")
+
+
+def _sub_tile(geom: FlatGeom, r: int, itemsize: int,
+              budget: int = 6 * 2**20) -> int:
+    """Per-conv row-block: largest aligned divisor of tile_h within budget."""
+    valid = [t for t in range(1, geom.tile_h + 1)
+             if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
+    assert valid, geom  # t == tile_h always qualifies by FlatGeom invariant
+    fitting = [t for t in valid if r * t * geom.Wp * itemsize <= budget]
+    return max(fitting) if fitting else min(valid)
+
+
+def to_body(x_nchw: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
+    """[N, C, H, W] -> body-flat [N, C, LB] (zero pads and guards)."""
+    n, c, h, w = x_nchw.shape
+    assert (h, w) == (geom.H, geom.W), (x_nchw.shape, geom)
+    xp = jnp.pad(x_nchw, ((0, 0), (0, 0), (0, 0), (0, 2 * geom.P)))
+    flat = xp.reshape(n, c, geom.H * geom.Wp)
+    return jnp.pad(flat, ((0, 0), (0, 0), (geom.S, geom.S)))
+
+
+def from_body(x_body: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
+    """body-flat [N, C, LB] -> [N, C, H, W]."""
+    n, c, l = x_body.shape
+    assert l == geom.LB, (x_body.shape, geom)
+    core = x_body[:, :, geom.S: geom.S + geom.H * geom.Wp]
+    return core.reshape(n, c, geom.H, geom.Wp)[:, :, :, : geom.W]
+
+
+def body_mask(x_body: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
+    """Re-zero guards and pad columns (cheap XLA pass; used on cotangents)."""
+    return to_body(from_body(x_body, geom), geom)
+
+
+class _ConvDims(NamedTuple):
+    kh: int
+    kw: int
+    d: int
+    pt: int     # virtual top padding of the conv (rows)
+    pleft: int  # virtual left padding (cols)
+
+
+def _check_dims(geom: FlatGeom, dims: _ConvDims) -> None:
+    # vertical halo lives in the guard blocks (tile_h rows each side);
+    # horizontal halo lives in the 2P zero pad columns between rows.
+    assert dims.pt <= geom.tile_h and dims.pleft <= 2 * geom.P, (dims, geom)
+    assert (dims.kh - 1) * dims.d - dims.pt <= geom.tile_h, (dims, geom)
+    assert (dims.kw - 1) * dims.d - dims.pleft <= 2 * geom.P, (dims, geom)
+
+
+class _Plan(NamedTuple):
+    tile: int          # rows per compute block
+    stride: int        # tile * Wp (block length, % 128 == 0)
+    g_blk: int         # guard blocks per side (= tile_h / tile)
+    n_blk: int         # total blocks = H/tile + 2*g_blk
+    len_in: int        # input window length (% 128 == 0)
+    start0: int        # 128-aligned constant part of the window offset
+    r: int             # kh*kw*cin
+
+
+def _plan(geom: FlatGeom, dims: _ConvDims, cin: int, itemsize: int) -> _Plan:
+    _check_dims(geom, dims)
+    kh, kw, d, pt, pleft = dims
+    r = kh * kw * cin
+    tile = _sub_tile(geom, r, itemsize)
+    stride = tile * geom.Wp
+    g_blk = geom.tile_h // tile
+    n_blk = geom.H // tile + 2 * g_blk
+    # input element for out-block-local (row, col) under tap (ky, kx):
+    #   global = blk*stride + local + (ky*d - pt)*Wp + (kx*d - pleft)
+    # the most negative tap shift is raw0; floor-align it to 128.
+    raw0 = -(pt * geom.Wp + pleft)
+    start0 = raw0 - (raw0 % 128)  # <= raw0, multiple of 128, <= 0
+    q_max = ((kh - 1) * d - pt) * geom.Wp + ((kw - 1) * d - pleft) - start0
+    len_in = -(-(q_max + stride) // 128) * 128
+    # first compute block (bi = g_blk) must start in range, and the last
+    # compute block's window must end inside the tail guard (no clamping
+    # may ever affect a compute block — clamps only serve guard blocks).
+    assert g_blk * stride + start0 >= 0, (geom, dims)
+    last = (n_blk - g_blk - 1) * stride + start0
+    assert last + len_in <= geom.LB, (geom, dims, tile, len_in)
+    return _Plan(tile, stride, g_blk, n_blk, len_in, start0, r)
+
+
+def _tap_offsets(plan: _Plan, geom: FlatGeom, dims: _ConvDims):
+    """Static in-window offsets per tap, all >= 0."""
+    kh, kw, d, pt, pleft = dims
+    out = []
+    for ky in range(kh):
+        for kx in range(kw):
+            q = (ky * d - pt) * geom.Wp + (kx * d - pleft) - plan.start0
+            assert 0 <= q and q + plan.stride <= plan.len_in, (q, plan)
+            out.append((ky * kw + kx, q))
+    return tuple(out)
+
+
+def _x_spec(plan: _Plan, geom: FlatGeom, cin: int):
+    hi_clamp = geom.LB - plan.len_in
+
+    def x_index(ni, bi):
+        s = bi * plan.stride + plan.start0
+        s = jnp.clip(s, 0, hi_clamp)  # guard blocks read garbage, ignored
+        return (ni, 0, pl.multiple_of(s, 128))
+
+    return pl.BlockSpec(
+        (None, pl.Element(cin), pl.Element(plan.len_in)), x_index
+    )
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, xs_ref, *,
+                plan: _Plan, offs, cin: int, cout: int):
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < plan.g_blk,
+                              bi >= plan.n_blk - plan.g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        for tap, q in offs:
+            xs_ref[tap * cin:(tap + 1) * cin, :] = x_ref[:, q:q + plan.stride]
+        acc = jax.lax.dot_general(
+            w_ref[:], xs_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Cout, L]
+        acc = (acc + b_ref[:]) * m_ref[:]
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, *, plan: _Plan, offs,
+               cin: int, cout: int):
+    ni = pl.program_id(0)
+    bi = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(ni == 0, bi == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    is_guard = jnp.logical_or(bi < plan.g_blk,
+                              bi >= plan.n_blk - plan.g_blk)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        for tap, q in offs:
+            xs_ref[tap * cin:(tap + 1) * cin, :] = x_ref[:, q:q + plan.stride]
+        # g pad cols / guards are zero, so xs junk contributes nothing.
+        dw_ref[:] += jax.lax.dot_general(
+            xs_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def _col_mask(plan: _Plan, geom: FlatGeom) -> jnp.ndarray:
+    col = jnp.arange(plan.stride, dtype=jnp.int32) % geom.Wp
+    return (col < geom.W).astype(jnp.float32).reshape(1, plan.stride)
+
+
+def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
+               geom: FlatGeom, dims: _ConvDims, cout: int,
+               out_dtype, interpret: bool) -> jnp.ndarray:
+    """Core pallas_call: body x [N, Cin, LB] -> body y [N, Cout, LB]."""
+    n, cin, lb = xb.shape
+    assert lb == geom.LB, (xb.shape, geom)
+    plan = _plan(geom, dims, cin, xb.dtype.itemsize)
+    offs = _tap_offsets(plan, geom, dims)
+    kernel = functools.partial(
+        _fwd_kernel, plan=plan, offs=offs, cin=cin, cout=cout,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n, plan.n_blk),
+        in_specs=[
+            _x_spec(plan, geom, cin),
+            pl.BlockSpec((plan.r, cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((1, plan.stride), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, cout, plan.stride),
+                               lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, cout, geom.LB), out_dtype),
+        scratch_shapes=[pltpu.VMEM((plan.r, plan.stride), xb.dtype)],
+        interpret=interpret,
+    )(xb, w2, b, _col_mask(plan, geom))
+
+
+def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
+             dims: _ConvDims, cin: int, cout: int,
+             interpret: bool) -> jnp.ndarray:
+    n = xb.shape[0]
+    plan = _plan(geom, dims, cin, xb.dtype.itemsize)
+    offs = _tap_offsets(plan, geom, dims)
+    kernel = functools.partial(
+        _dw_kernel, plan=plan, offs=offs, cin=cin, cout=cout,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n, plan.n_blk),
+        in_specs=[
+            _x_spec(plan, geom, cin),
+            pl.BlockSpec((None, cout, plan.stride),
+                         lambda ni, bi: (ni, 0, bi)),
+        ],
+        out_specs=pl.BlockSpec((plan.r, cout), lambda ni, bi: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((plan.r, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((plan.r, plan.stride), xb.dtype)],
+        interpret=interpret,
+    )(xb, g)
+
+
+def _w_stack(w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[KH, KW, Cin, Cout] -> [KH*KW*Cin, Cout] matching the tap order."""
+    kh, kw, cin, cout = w.shape
+    return w.reshape(kh * kw * cin, cout).astype(dtype)
+
+
+def _w_transposed(w: jnp.ndarray) -> jnp.ndarray:
+    """Taps for the gradient conv: flip spatially, swap in/out channels."""
+    return jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
+)
+def _flat_conv_prim(xb, w, b, geom: FlatGeom, kh: int, kw: int,
+                    dilation: int, pt: int, pleft: int, out_dtype_name: str):
+    dims = _ConvDims(kh, kw, dilation, pt, pleft)
+    cout = w.shape[-1]
+    out_dtype = jnp.dtype(out_dtype_name)
+    return _conv_body(
+        xb, _w_stack(w, xb.dtype), b.reshape(-1, 1).astype(jnp.float32),
+        geom, dims, cout, out_dtype, _use_interpret(),
+    )
+
+
+def _flat_conv_fwd(xb, w, b, geom, kh, kw, dilation, pt, pleft,
+                   out_dtype_name):
+    y = _flat_conv_prim(xb, w, b, geom, kh, kw, dilation, pt, pleft,
+                        out_dtype_name)
+    return y, (xb, w)
+
+
+def _flat_conv_bwd(geom, kh, kw, dilation, pt, pleft, out_dtype_name,
+                   res, g):
+    xb, w = res
+    dims = _ConvDims(kh, kw, dilation, pt, pleft)
+    cin, cout = w.shape[2], w.shape[3]
+    interp = _use_interpret()
+    # In the model pipeline g's guards/pads are already zero (every producer
+    # in the body algebra preserves them); re-zero defensively so the VJP is
+    # correct for arbitrary cotangents too.
+    g = body_mask(g, geom).astype(xb.dtype)
+    # dx: transposed conv of the cotangent
+    dims_t = _ConvDims(kh, kw, dilation,
+                       (kh - 1) * dilation - pt,
+                       (kw - 1) * dilation - pleft)
+    wt = _w_transposed(w)
+    zero_b = jnp.zeros((cin,), jnp.float32)
+    dxb = _conv_body(g, _w_stack(wt, g.dtype), zero_b.reshape(-1, 1),
+                     geom, dims_t, cin, xb.dtype, interp)
+    # dw: one stacked matmul per tile, accumulated across the grid
+    dw2 = _dw_call(xb, g, geom, dims, cin, cout, interp)
+    dw = dw2.reshape(kh, kw, cin, cout).astype(w.dtype)
+    db = jnp.sum(g, axis=(0, 2), dtype=jnp.float32)
+    return dxb, dw, db
+
+
+_flat_conv_prim.defvjp(_flat_conv_fwd, _flat_conv_bwd)
+
+
+def flat_conv2d(
+    x_body: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    geom: FlatGeom,
+    *,
+    dilation: int = 1,
+    padding: str = "SAME",
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Stride-1 2-D conv on a body-flat tensor.
+
+    x_body: [N, Cin, LB]; w: [KH, KW, Cin, Cout] (flax HWIO order);
+    b: [Cout] or None.  Returns body-flat [N, Cout, LB] with zero pads and
+    guards.  ``padding='SAME'`` reproduces TF/XLA SAME for stride 1 (even
+    kernels pad more on the bottom/right, reference model/layers/utils.py).
+    """
+    kh, kw, cin, cout = w.shape
+    assert x_body.shape[1] == cin, (x_body.shape, w.shape)
+    if padding == "SAME":
+        pt = ((kh - 1) * dilation) // 2
+        pleft = ((kw - 1) * dilation) // 2
+    else:  # explicit (pt, pleft)
+        pt, pleft = padding
+    if b is None:
+        b = jnp.zeros((cout,), jnp.float32)
+    out_dtype_name = jnp.dtype(out_dtype or x_body.dtype).name
+    return _flat_conv_prim(x_body, w, b, geom, kh, kw, dilation, int(pt),
+                           int(pleft), out_dtype_name)
+
+
+def flat_conv2d_reference(x_body, w, b, geom: FlatGeom, *, dilation=1,
+                          padding="SAME"):
+    """XLA oracle with identical semantics, for tests."""
+    kh, kw, cin, cout = w.shape
+    x = from_body(x_body, geom).astype(jnp.float32)
+    if padding == "SAME":
+        pad = "SAME"
+    else:
+        pt, pleft = padding
+        pad = ((pt, (kh - 1) * dilation - pt),
+               (pleft, (kw - 1) * dilation - pleft))
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(jnp.float32), (1, 1), pad,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32).reshape(1, cout, 1, 1)
+    return to_body(y, geom)
+
+
+# ---------------------------------------------------------------------------
+# Layout helpers used by the model wiring
+
+
+def body_upsample2(x_body: jnp.ndarray, geom_in: FlatGeom,
+                   geom_out: FlatGeom) -> jnp.ndarray:
+    """Zero-insertion x2 upsampling (transposed-conv lhs dilation).
+
+    [N, C, LB_in] at (H, W) -> [N, C, LB_out] at (Ho, Wo) where
+    Ho in {2H-1, 2H}, Wo in {2W-1, 2W}: real pixel (2i, 2j) = x[i, j].
+    """
+    n, c, _ = x_body.shape
+    x = from_body(x_body, geom_in)
+    ho, wo = geom_out.H, geom_out.W
+    up = jnp.zeros((n, c, 2 * geom_in.H, 2 * geom_in.W), x.dtype)
+    up = up.at[:, :, ::2, ::2].set(x)
+    return to_body(up[:, :, :ho, :wo], geom_out)
+
+
+def body_maxpool2(x_body: jnp.ndarray, geom_in: FlatGeom,
+                  geom_out: FlatGeom) -> jnp.ndarray:
+    """2x2 stride-2 SAME max pool on body-flat tensors."""
+    n, c, _ = x_body.shape
+    x = from_body(x_body, geom_in)
+    h, w = geom_in.H, geom_in.W
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2)),
+                    constant_values=-jnp.inf)
+        h, w = x.shape[2], x.shape[3]
+    p = x.reshape(n, c, h // 2, 2, w // 2, 2).max(axis=(3, 5))
+    assert (p.shape[2], p.shape[3]) == (geom_out.H, geom_out.W)
+    return to_body(p, geom_out)
+
+
+def body_lrn(x_body: jnp.ndarray, size: int, alpha: float = 1e-4,
+             beta: float = 0.75, k: float = 1.0) -> jnp.ndarray:
+    """LocalResponseNorm across the channel axis (axis 1) of a body tensor."""
+    sq = jnp.square(x_body.astype(jnp.float32))
+    c = x_body.shape[1]
+    lo = size // 2
+    hi = (size - 1) // 2
+    cs = jnp.cumsum(sq, axis=1)
+    zero = jnp.zeros_like(cs[:, :1])
+    cs = jnp.concatenate([zero, cs], axis=1)
+    idx_hi = jnp.clip(jnp.arange(c) + hi + 1, 0, c)
+    idx_lo = jnp.clip(jnp.arange(c) - lo, 0, c)
+    win = jnp.take(cs, idx_hi, axis=1) - jnp.take(cs, idx_lo, axis=1)
+    denom = jnp.power(k + (alpha / size) * win, beta)
+    return (x_body / denom.astype(x_body.dtype)).astype(x_body.dtype)

@@ -1,0 +1,175 @@
+"""flat channel-major conv vs XLA oracle (forward + grads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msau_tpu.ops.flatconv import (
+    DEFAULT_P,
+    choose_geom,
+    FlatGeom,
+    body_lrn,
+    body_maxpool2,
+    body_upsample2,
+    flat_conv2d,
+    flat_conv2d_reference,
+    from_body,
+    to_body,
+)
+
+
+def _mk(geom, cin, key):
+    x = jax.random.normal(key, (2, cin, geom.H, geom.W), jnp.float32)
+    return to_body(x, geom)
+
+
+CASES = [
+    # (H, W, cin, cout, kh, kw, dilation, padding)
+    (32, 48, 8, 8, 3, 3, 1, "SAME"),
+    (32, 48, 8, 16, 3, 3, 2, "SAME"),       # dilated rate-2 (scale-1 conv)
+    (32, 48, 16, 8, 1, 1, 1, "SAME"),       # coupling 1x1
+    (32, 48, 8, 17, 4, 4, 1, "SAME"),       # end conv (even kernel, asym pad)
+    (32, 48, 16, 8, 3, 3, 1, (1, 1)),       # explicit pad (deconv-style)
+    (24, 40, 32, 16, 3, 3, 1, "SAME"),      # wider channels (scale-1 merge)
+]
+
+
+@pytest.mark.parametrize("h,w,cin,cout,kh,kw,d,pad", CASES)
+def test_forward_matches_oracle(h, w, cin, cout, kh, kw, d, pad):
+    geom = choose_geom(h, w)
+    key = jax.random.PRNGKey(0)
+    xb = _mk(geom, cin, key)
+    wk = jax.random.normal(jax.random.PRNGKey(1), (kh, kw, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(2), (cout,))
+    got = flat_conv2d(xb, wk, b, geom, dilation=d, padding=pad)
+    ref = flat_conv2d_reference(xb, wk, b, geom, dilation=d, padding=pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # pad columns and guard blocks must stay exactly zero (body invariant)
+    from msau_tpu.ops.flatconv import body_mask
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(body_mask(got, geom)))
+
+
+@pytest.mark.parametrize("h,w,cin,cout,kh,kw,d,pad", CASES[:4])
+def test_grads_match_oracle(h, w, cin, cout, kh, kw, d, pad):
+    geom = choose_geom(h, w)
+    xb = _mk(geom, cin, jax.random.PRNGKey(3))
+    wk = jax.random.normal(jax.random.PRNGKey(4), (kh, kw, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(5), (cout,))
+    # cotangent weights make the scalar objective sensitive everywhere
+    cw = jax.random.normal(jax.random.PRNGKey(6), (2, cout, geom.LB))
+
+    def loss(fn):
+        def f(xb, wk, b):
+            return jnp.sum(fn(xb, wk, b, geom, dilation=d, padding=pad) * cw)
+        return f
+
+    g_got = jax.grad(loss(flat_conv2d), argnums=(0, 1, 2))(xb, wk, b)
+    g_ref = jax.grad(loss(flat_conv2d_reference), argnums=(0, 1, 2))(xb, wk, b)
+    for got, ref, name in zip(g_got, g_ref, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4,
+            err_msg=f"grad wrt {name}",
+        )
+
+
+def test_body_roundtrip_and_pool_upsample():
+    geom = choose_geom(16, 24)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 24))
+    xb = to_body(x, geom)
+    np.testing.assert_array_equal(np.asarray(from_body(xb, geom)), np.asarray(x))
+
+    gout = choose_geom(8, 12)
+    pooled = body_maxpool2(xb, geom, gout)
+    ref = x.reshape(2, 4, 8, 2, 12, 2).max(axis=(3, 5))
+    np.testing.assert_allclose(np.asarray(from_body(pooled, gout)),
+                               np.asarray(ref), rtol=1e-6)
+
+    up = body_upsample2(pooled, gout, geom)
+    up4 = np.asarray(from_body(up, geom))
+    np.testing.assert_allclose(up4[:, :, ::2, ::2], np.asarray(ref), rtol=1e-6)
+    assert np.all(up4[:, :, 1::2, :] == 0) and np.all(up4[:, :, :, 1::2] == 0)
+
+
+def test_body_lrn_matches_nhwc_lrn():
+    from msau_tpu.models.layers import local_response_norm
+
+    geom = choose_geom(8, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+    xb = to_body(x, geom)
+    got = from_body(body_lrn(xb, size=8), geom)
+    ref = jnp.transpose(
+        local_response_norm(jnp.transpose(x, (0, 2, 3, 1)), size=8),
+        (0, 3, 1, 2),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_forward_close():
+    geom = choose_geom(32, 48)
+    xb = _mk(geom, 8, jax.random.PRNGKey(7)).astype(jnp.bfloat16)
+    wk = jax.random.normal(jax.random.PRNGKey(8), (3, 3, 8, 8)) * 0.3
+    b = jnp.zeros((8,))
+    got = flat_conv2d(xb, wk, b, geom)
+    ref = flat_conv2d_reference(xb.astype(jnp.float32), wk, b, geom)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               rtol=0.1, atol=0.1)
+
+
+def test_flat_model_parity():
+    """flat_scales model == NHWC model with identical params (same tree)."""
+    import dataclasses
+
+    from msau_tpu.config import ModelConfig
+    from msau_tpu.models.msau import build_model
+
+    cfg0 = ModelConfig(n_class=5, img_channels=12, feat_root=8,
+                       scale_space_num=4, res_depth=2, num_blocks=3)
+    cfg1 = dataclasses.replace(cfg0, flat_scales=2)
+    m0, m1 = build_model(cfg0), build_model(cfg1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 96, 12))
+    v = m0.init(jax.random.PRNGKey(0), x)
+    _, l0, a0 = m0.apply(v, x)
+    _, l1, a1 = m1.apply(v, x)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_flat_model_grads_match():
+    """Train-style gradients agree between flat and NHWC layouts (CPU)."""
+    import dataclasses
+
+    from msau_tpu.config import ModelConfig
+    from msau_tpu.models.msau import build_model
+
+    cfg0 = ModelConfig(n_class=4, img_channels=6, feat_root=8,
+                       scale_space_num=3, res_depth=1, num_blocks=2)
+    cfg1 = dataclasses.replace(cfg0, flat_scales=1)
+    m0, m1 = build_model(cfg0), build_model(cfg1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 6))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 4))
+    v = m0.init(jax.random.PRNGKey(0), x)
+
+    def loss(m):
+        def f(params):
+            _, logits, aux = m.apply(params, x)
+            return jnp.mean((logits - tgt) ** 2) + 0.5 * jnp.mean(aux**2)
+        return f
+
+    g0 = jax.grad(loss(m0))(v)
+    g1 = jax.grad(loss(m1))(v)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {jax.tree_util.keystr(k): l
+             for k, l in jax.tree_util.tree_leaves_with_path(g1)}
+    for k, a in flat0:
+        b = flat1[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(k),
+        )
