@@ -95,6 +95,14 @@ class KVModel:
             self.model_config = ModelConfig(
                 img_channels=self.charset.n_token, n_class=self.n_class
             )
+        if getattr(self.model_config, "flat_scales", 0):
+            # serving is latency-bound at batch 1, where the flat-layout
+            # Pallas kernels are per-block-overhead-bound and lose to XLA
+            # (160 vs 102 ms p50 at 512^2); param trees are identical
+            # across layouts, so serve through the NHWC graph.
+            self.model_config = dataclasses.replace(
+                self.model_config, flat_scales=0
+            )
         self.model = build_model(self.model_config)
         self._apply = None
         if params is not None:

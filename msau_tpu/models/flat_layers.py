@@ -28,12 +28,12 @@ from msau_tpu.ops.flatconv import (
 Dtype = object
 
 
-def make_scale_geoms(h: int, w: int, n_scales: int, itemsize: int,
+def make_scale_geoms(h: int, w: int, n_scales: int, itemsize: int = 2,
                      pool: int = 2) -> List[FlatGeom]:
     """Geometries for scales 0..n_scales-1 (SAME-pool halving each scale)."""
     geoms = []
     for _ in range(n_scales):
-        geoms.append(choose_geom(h, w, itemsize=itemsize))
+        geoms.append(choose_geom(h, w))
         h = -(-h // pool)
         w = -(-w // pool)
     return geoms

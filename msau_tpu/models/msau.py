@@ -119,6 +119,9 @@ class DownSamplingUNetBlock(nn.Module):
 
                 itemsize = 2 if self.dtype == jnp.bfloat16 else 4
                 if not flat_eligible(x.shape[-1], k[0], k[1], geom, itemsize):
+                    # conv (+ LRN) in XLA for the wide-cin entry, then
+                    # convert once; moving the LRN to the body form was
+                    # measured slower (XLA fuses it into the conv here)
                     x = DilConvBnLrnDrop(
                         features=feats,
                         kernel_size=k,
@@ -412,7 +415,8 @@ class MSAUNet(nn.Module):
     block_variant: str = "conv"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 logits_layout: str = "NHWC"):
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
         box_cfg = {
@@ -481,9 +485,22 @@ class MSAUNet(nn.Module):
             if block_id == cfg.num_blocks - 2:
                 logits_aux = out
         if fs:
-            out = body_to_nhwc(out, geoms[0])
+            if logits_layout == "NCHW":
+                # compact [N, C, H, W] — no lane-padded transpose; the
+                # channel_axis-aware loss consumes this directly
+                from msau_tpu.ops.flatconv import from_body
+
+                out = from_body(out, geoms[0])
+                if logits_aux is not None:
+                    logits_aux = from_body(logits_aux, geoms[0])
+            else:
+                out = body_to_nhwc(out, geoms[0])
+                if logits_aux is not None:
+                    logits_aux = body_to_nhwc(logits_aux, geoms[0])
+        elif logits_layout == "NCHW":
+            out = jnp.transpose(out, (0, 3, 1, 2))
             if logits_aux is not None:
-                logits_aux = body_to_nhwc(logits_aux, geoms[0])
+                logits_aux = jnp.transpose(logits_aux, (0, 3, 1, 2))
         logits = out.astype(jnp.float32)
         if logits_aux is None:
             logits_aux = logits
@@ -508,11 +525,21 @@ class MSAUWrapper(nn.Module):
         else:
             self.net = MSAUNet(self.config)
 
-    def __call__(self, x: jnp.ndarray, *, train: bool = False):
-        logits, aux_logits = self.net(x, train=train)
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 logits_layout: str = "NHWC"):
+        if isinstance(self.net, MSAUNet):
+            logits, aux_logits = self.net(x, train=train,
+                                          logits_layout=logits_layout)
+        else:
+            # box variant has no flat layout; honor the contract manually
+            logits, aux_logits = self.net(x, train=train)
+            if logits_layout == "NCHW":
+                logits = jnp.transpose(logits, (0, 3, 1, 2))
+                aux_logits = jnp.transpose(aux_logits, (0, 3, 1, 2))
+        caxis = 1 if logits_layout == "NCHW" else -1
         final_act = self.config.final_act
         if final_act == "softmax":
-            probs = jax.nn.softmax(logits, axis=-1)
+            probs = jax.nn.softmax(logits, axis=caxis)
         elif final_act == "sigmoid":
             probs = jax.nn.sigmoid(logits)
         else:

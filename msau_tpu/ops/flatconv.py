@@ -92,20 +92,26 @@ class FlatGeom(NamedTuple):
 
 
 def choose_geom(h: int, w: int, *, min_p: int = DEFAULT_P,
-                max_cin: int = 32, max_k: int = 3, itemsize: int = 2,
-                budget: int = 6 * 2**20) -> FlatGeom:
-    """Pick (P, tile_h): smallest halo with a feasible, budget-fitting tile."""
-    r = max_k * max_k * max_cin
+                tile_cap: int = 32) -> FlatGeom:
+    """Pick (P, tile_h): smallest feasible halo, largest aligned tile.
+
+    tile_h only sets the guard-block size and the per-conv tile ceiling;
+    each conv picks its own sub-tile dividing tile_h that fits its
+    tap-stack in VMEM (_sub_tile), so a wide worst-case conv no longer
+    forces small grids on the narrow ones.
+    """
+    # guards cost 2/(H/tile_h + 2) of every tensor and bigger tiles were
+    # measured slower at the flagship shapes (604 vs 583 ms/step at
+    # tile 64 vs 32), so prefer small aligned tiles; fall back to the
+    # smallest feasible tile above the cap rather than failing.
+    soft_cap = min(tile_cap, max(1, h // 8))
     for p in range(min_p, min_p + 129):
         wp = w + 2 * p
-        best = 0
-        for t in range(1, h + 1):
-            if h % t or (t * wp) % 128:
-                continue
-            if r * t * wp * itemsize <= budget or best == 0:
-                best = t
-        if best:
-            return FlatGeom(h, w, p, best)
+        valid = [t for t in range(1, h + 1)
+                 if h % t == 0 and (t * wp) % 128 == 0]
+        if valid:
+            capped = [t for t in valid if t <= soft_cap]
+            return FlatGeom(h, w, p, max(capped) if capped else min(valid))
     raise ValueError(f"no feasible flat geometry for H={h}, W={w}")
 
 
@@ -217,7 +223,7 @@ def _x_spec(plan: _Plan, geom: FlatGeom, cin: int):
 
 
 def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, xs_ref, *,
-                plan: _Plan, offs, cin: int, cout: int):
+                plan: _Plan, offs, cin: int, cout: int, precision):
     bi = pl.program_id(1)
     is_guard = jnp.logical_or(bi < plan.g_blk,
                               bi >= plan.n_blk - plan.g_blk)
@@ -233,14 +239,14 @@ def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, xs_ref, *,
         acc = jax.lax.dot_general(
             w_ref[:], xs_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )  # [Cout, L]
         acc = (acc + b_ref[:]) * m_ref[:]
         o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, *, plan: _Plan, offs,
-               cin: int, cout: int):
+               cin: int, cout: int, precision):
     ni = pl.program_id(0)
     bi = pl.program_id(1)
 
@@ -259,8 +265,19 @@ def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, *, plan: _Plan, offs,
         dw_ref[:] += jax.lax.dot_general(
             xs_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
+
+
+def _dot_precision(dtype) -> jax.lax.Precision:
+    """bf16 operands: one exact MXU pass; f32: force the 3-pass algorithm.
+
+    Mosaic cannot lower HIGHEST (or the global *_X3 preset) for bf16
+    inputs ("Bad lhs type"), and bf16 x bf16 -> f32 accumulation is already
+    exact, so DEFAULT is both required and lossless there.
+    """
+    return (jax.lax.Precision.DEFAULT if jnp.dtype(dtype) == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
 
 
 def _col_mask(plan: _Plan, geom: FlatGeom) -> jnp.ndarray:
@@ -278,6 +295,7 @@ def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
     offs = _tap_offsets(plan, geom, dims)
     kernel = functools.partial(
         _fwd_kernel, plan=plan, offs=offs, cin=cin, cout=cout,
+        precision=_dot_precision(xb.dtype),
     )
     return pl.pallas_call(
         kernel,
@@ -304,6 +322,7 @@ def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
     offs = _tap_offsets(plan, geom, dims)
     kernel = functools.partial(
         _dw_kernel, plan=plan, offs=offs, cin=cin, cout=cout,
+        precision=_dot_precision(xb.dtype),
     )
     return pl.pallas_call(
         kernel,

@@ -21,18 +21,27 @@ import jax
 import jax.numpy as jnp
 
 
-def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Softmax cross-entropy per pixel; logits [..., C], labels int [...]."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+                  channel_axis: int = -1) -> jnp.ndarray:
+    """Softmax cross-entropy per pixel.
+
+    ``channel_axis=-1``: logits [..., C]; ``channel_axis=1``: logits
+    [N, C, ...] (the compact layout the flat_scales model emits — avoids a
+    lane-padded NHWC transpose on the loss boundary).  labels int [N, ...].
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=channel_axis)
+    lab = jnp.expand_dims(labels, channel_axis)
+    return -jnp.squeeze(jnp.take_along_axis(logp, lab, axis=channel_axis),
+                        channel_axis)
 
 
 def nonzero_pixel_accuracy(
-    logits: jnp.ndarray, labels: jnp.ndarray, valid: Optional[jnp.ndarray] = None
+    logits: jnp.ndarray, labels: jnp.ndarray, valid: Optional[jnp.ndarray] = None,
+    channel_axis: int = -1,
 ) -> jnp.ndarray:
     """sum(pred == label over label != 0) / sum(label != 0) — the reference
     acceptance metric (model/training/cost.py:43-51)."""
-    pred = jnp.argmax(logits, axis=-1)
+    pred = jnp.argmax(logits, axis=channel_axis)
     mask = labels != 0
     if valid is not None:
         mask = mask & valid
@@ -46,6 +55,7 @@ def masked_cross_entropy(
     aux_logits: jnp.ndarray,
     labels: jnp.ndarray,
     valid: Optional[jnp.ndarray] = None,
+    channel_axis: int = -1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Entry-A loss: CE over label != 0 pixels, final + aux.
 
@@ -57,14 +67,16 @@ def masked_cross_entropy(
     if valid is not None:
         mask = mask & valid
     denom = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
-    ce = jnp.sum(jnp.where(mask, _per_pixel_ce(logits, labels), 0.0)) / denom
-    ce_aux = jnp.sum(jnp.where(mask, _per_pixel_ce(aux_logits, labels), 0.0)) / denom
+    ce = jnp.sum(jnp.where(
+        mask, _per_pixel_ce(logits, labels, channel_axis), 0.0)) / denom
+    ce_aux = jnp.sum(jnp.where(
+        mask, _per_pixel_ce(aux_logits, labels, channel_axis), 0.0)) / denom
     loss = ce + ce_aux
     metrics = {
         "loss": loss,
         "loss_final": ce,
         "loss_aux": ce_aux,
-        "accuracy": nonzero_pixel_accuracy(logits, labels, valid),
+        "accuracy": nonzero_pixel_accuracy(logits, labels, valid, channel_axis),
     }
     return loss, metrics
 
@@ -77,10 +89,11 @@ def unet_loss(
     valid: Optional[jnp.ndarray] = None,
     aux_weight: float = 0.5,
     class_weights: Optional[jnp.ndarray] = None,
+    channel_axis: int = -1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Entry-B loss: mean CE over all (valid) pixels, optional weighted
     classes, 0.5/0.5 aux mixing (model/training/cost.py:52-61)."""
-    ce = _per_pixel_ce(logits, labels)
+    ce = _per_pixel_ce(logits, labels, channel_axis)
     if class_weights is not None:
         w = jnp.take(class_weights, labels)
         ce = ce * w
@@ -98,7 +111,7 @@ def unet_loss(
     if aux_logits is not None:
         if aux_labels is None:
             aux_labels = labels
-        ce_a = _per_pixel_ce(aux_logits, aux_labels)
+        ce_a = _per_pixel_ce(aux_logits, aux_labels, channel_axis)
         if class_weights is not None:
             ce_a = ce_a * jnp.take(class_weights, aux_labels)
         if valid is not None:
@@ -113,6 +126,6 @@ def unet_loss(
         "loss": loss,
         "loss_final": final_loss,
         "loss_aux": aux_loss,
-        "accuracy": nonzero_pixel_accuracy(logits, labels, valid),
+        "accuracy": nonzero_pixel_accuracy(logits, labels, valid, channel_axis),
     }
     return loss, metrics

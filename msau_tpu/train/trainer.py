@@ -64,11 +64,21 @@ def make_train_step(
     batch: {"input": [N,H,W,C] f32, "label": [N,H,W] i32, "valid": [N,H,W] bool}
     """
 
+    # with the flat shallow-scale layout, keep the loss on compact
+    # [N, C, H, W] logits — the NHWC transpose would re-pay the 128-lane
+    # padding this layout exists to avoid (ops/flatconv.py)
+    nchw = getattr(model.config, "flat_scales", 0) > 0
+    layout = "NCHW" if nchw else "NHWC"
+    caxis = 1 if nchw else -1
+
     def loss_fn(params, batch):
-        _, logits, aux_logits = model.apply(params, batch["input"], train=True)
+        _, logits, aux_logits = model.apply(
+            params, batch["input"], train=True, logits_layout=layout
+        )
         if masked:
             return masked_cross_entropy(
-                logits, aux_logits, batch["label"], batch.get("valid")
+                logits, aux_logits, batch["label"], batch.get("valid"),
+                channel_axis=caxis,
             )
         return unet_loss(
             logits,
@@ -76,6 +86,7 @@ def make_train_step(
             aux_logits=aux_logits,
             valid=batch.get("valid"),
             aux_weight=aux_weight,
+            channel_axis=caxis,
         )
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:

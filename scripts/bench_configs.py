@@ -109,7 +109,7 @@ def config_2(quick):
     hw, bs = (128, 2) if quick else (512, 8)
     cfg = ModelConfig(
         img_channels=64, n_class=17, scale_space_num=4, res_depth=2,
-        feat_root=8, num_blocks=3, remat=True,
+        feat_root=8, num_blocks=3, remat=True, flat_scales=2,
     )
     v = time_train(cfg, bs, hw, iters=3 if quick else 10)
     return {
@@ -165,6 +165,7 @@ def config_5(quick):
     cfg = ModelConfig(
         img_channels=64, n_class=17, scale_space_num=4, res_depth=2,
         feat_root=8, num_blocks=3, remat=True, dtype="bfloat16",
+        flat_scales=2,
     )
     v = time_train(cfg, bs, hw, iters=2 if quick else 5)
     return {

@@ -173,3 +173,64 @@ def test_flat_model_grads_match():
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-5,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+def test_nchw_loss_path_matches_nhwc():
+    """make_train_step with flat_scales (NCHW logits loss) == NHWC step."""
+    import dataclasses
+
+    import optax
+
+    from msau_tpu.config import ModelConfig
+    from msau_tpu.models.msau import build_model
+    from msau_tpu.train.trainer import TrainState, make_train_step
+
+    cfg0 = ModelConfig(n_class=4, img_channels=6, feat_root=8,
+                       scale_space_num=3, res_depth=1, num_blocks=2)
+    cfg1 = dataclasses.replace(cfg0, flat_scales=1)
+    m0, m1 = build_model(cfg0), build_model(cfg1)
+    opt = optax.adam(1e-3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 6))
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (2, 32, 32), 0, 4)
+    batch = {"input": x, "label": lbl, "valid": jnp.ones((2, 32, 32), bool)}
+    params = m0.init(jax.random.PRNGKey(0), x)
+    losses = []
+    for m in (m0, m1):
+        state = TrainState.create(params, opt)
+        step = make_train_step(m, opt, masked=True, donate=False)
+        _, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-4)
+
+
+def test_flat_model_dp_mesh_parity():
+    """flat_scales train step under an 8-way data-parallel mesh == single."""
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from msau_tpu.config import ModelConfig
+    from msau_tpu.models.msau import build_model
+    from msau_tpu.train.trainer import TrainState, make_train_step
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 virtual devices")
+    cfg = ModelConfig(n_class=4, img_channels=6, feat_root=8,
+                      scale_space_num=3, res_depth=1, num_blocks=2,
+                      flat_scales=1)
+    model = build_model(cfg)
+    opt = optax.adam(1e-3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 6))
+    lbl = jax.random.randint(jax.random.PRNGKey(2), (8, 32, 32), 0, 4)
+    batch = {"input": x, "label": lbl, "valid": jnp.ones((8, 32, 32), bool)}
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    step = make_train_step(model, opt, masked=True, donate=False)
+    _, m0 = step(TrainState.create(params, opt), batch)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    bsh = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+           for k, v in batch.items()}
+    psh = jax.device_put(params, NamedSharding(mesh, P()))
+    _, m1 = step(TrainState.create(psh, opt), bsh)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-5)
