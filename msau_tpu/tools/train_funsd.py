@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--eval_every", type=int, default=1)
     p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--max_eval_examples", type=int, default=100)
+    p.add_argument("--flat_scales", type=int, default=0,
+                   help="shallow scales in the channel-major Pallas layout "
+                        "(TPU training speedup; 2 for the flagship config)")
     args = p.parse_args(argv)
 
     import jax
@@ -63,6 +66,7 @@ def main(argv=None):
         mc = ModelConfig(
             model="msau", final_act="softmax", feat_root=8, scale_space_num=4,
             res_depth=2, n_class=n_class, img_channels=charset.n_token,
+            flat_scales=args.flat_scales,
         )
         os.makedirs(args.ckptdir, exist_ok=True)
         with open(os.path.join(args.ckptdir, "model_kwargs.json"), "w") as f:

@@ -42,6 +42,9 @@ def main(argv=None):
     p.add_argument("--feat_root", type=int, default=8)
     p.add_argument("--scale_space_num", type=int, default=6)
     p.add_argument("--res_depth", type=int, default=3)
+    p.add_argument("--flat_scales", type=int, default=0,
+                   help="shallow scales in the channel-major Pallas layout "
+                        "(TPU training speedup; 2 for the flagship config)")
     args = p.parse_args(argv)
 
     from msau_tpu.config import DataConfig, ModelConfig, TrainConfig
@@ -75,6 +78,7 @@ def main(argv=None):
         feat_root=args.feat_root,
         scale_space_num=args.scale_space_num,
         res_depth=args.res_depth,
+        flat_scales=args.flat_scales,
     )
     tc = TrainConfig(
         optimizer=args.optimizer,

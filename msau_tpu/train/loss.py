@@ -30,9 +30,16 @@ def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray,
     lane-padded NHWC transpose on the loss boundary).  labels int [N, ...].
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=channel_axis)
-    lab = jnp.expand_dims(labels, channel_axis)
-    return -jnp.squeeze(jnp.take_along_axis(logp, lab, axis=channel_axis),
-                        channel_axis)
+    # select the label logit via a one-hot compare-and-reduce rather than
+    # take_along_axis: the latter lowers to a serialized per-pixel gather
+    # on TPU (measured ~130 ms/step at 16x512^2x17 incl. the scatter in its
+    # backward); the compare fuses into the softmax reads.
+    nclass = logits.shape[channel_axis]
+    shape = [1] * logits.ndim
+    shape[channel_axis] = nclass
+    classes = jnp.arange(nclass).reshape(shape)
+    onehot = jnp.expand_dims(labels, channel_axis) == classes
+    return -jnp.sum(jnp.where(onehot, logp, 0.0), axis=channel_axis)
 
 
 def nonzero_pixel_accuracy(
