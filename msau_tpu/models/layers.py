@@ -289,6 +289,38 @@ class DeconvBnLrnDrop(nn.Module):
         return y
 
 
+class _ConvParams(nn.Module):
+    """Bare kernel/bias params with nn.Conv-compatible names."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", tf_conv_kernel_init(kh, kw, cin, self.features),
+            (kh, kw, cin, self.features),
+        )
+        bias = self.param("bias", tf_bias_init(), (self.features,))
+        return kernel, bias
+
+
+class _ConvParamHolder(nn.Module):
+    """Scope shim so fused kernels reuse the unfused param tree
+    (ConvBnLrnDrop_i/Conv_0/{kernel,bias})."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return _ConvParams(
+            features=self.features, kernel_size=self.kernel_size,
+            name="Conv_0",
+        )(cin)
+
+
 class MultiConvResidualBlock(nn.Module):
     """relu(x) -> res_depth convs (last without activation) -> +x -> act.
 
@@ -304,6 +336,31 @@ class MultiConvResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  geom=None) -> jnp.ndarray:
+        if geom is not None:
+            from msau_tpu.ops.flatres import (
+                flat_res_block,
+                fused_res_supported,
+            )
+
+            c = x.shape[1]
+            if (self.res_depth == 2 and self.filter_size == 3
+                    and self.channels == c
+                    and fused_res_supported(geom, c, 3, 2, self.activation,
+                                            x.dtype.itemsize)):
+                # single fused kernel for the flagship res-block shape;
+                # params named to match the unfused ConvBnLrnDrop tree
+                holders = [
+                    _ConvParamHolder(
+                        features=self.channels, kernel_size=(3, 3),
+                        name=f"ConvBnLrnDrop_{i}",
+                    )(c)
+                    for i in range(2)
+                ]
+                (w1, b1), (w2, b2) = holders
+                dtype = self.dtype or x.dtype
+                return flat_res_block(
+                    x.astype(dtype), w1, b1, w2, b2, geom, self.activation
+                )
         orig = x
         y = jax.nn.relu(x)
         k = (self.filter_size, self.filter_size)

@@ -1,0 +1,480 @@
+"""Fused residual conv block on the body-flat layout.
+
+Computes the reference ``MultiConvResidualBlock`` with ``res_depth=2``
+(model/model.py:8-50):
+
+    y = act( conv2( act( conv1( relu(x) ) + b1 ) ) + b2 + x )
+
+as ONE Pallas kernel per (batch, row-block) — both 3x3 convs, the
+activations and the residual stay in VMEM; only x is read and y written.
+The backward is likewise ONE kernel that recomputes the forward
+intermediates in VMEM and emits dx plus the revisited-accumulated
+dw1/dw2/db1/db2 — replacing four separate conv-grad kernels and their HBM
+intermediates.
+
+Same body-flat conventions as ops/flatconv.py (guard blocks, zero pad
+columns, 128-aligned Element windows).  Only the flagship res-block shape
+is fused (3x3, dilation 1, Cin == Cout); other shapes fall back to two
+``flat_conv2d`` calls in the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msau_tpu.ops.flatconv import (
+    FlatGeom,
+    _ConvDims,
+    _dot_precision,
+    _plan,
+    _sub_tile,
+    _use_interpret,
+    body_mask,
+)
+
+
+def _act_fns(name: str):
+    if name == "relu":
+        return jax.nn.relu, lambda pre: (pre > 0).astype(jnp.float32)
+    if name == "elu":
+        return (
+            jax.nn.elu,
+            lambda pre: jnp.where(pre > 0, 1.0, jnp.exp(jnp.minimum(pre, 0.0))),
+        )
+    raise ValueError(f"unsupported fused activation: {name}")
+
+
+def _mask_row(wp: int, w: int, n_rows: int, stride_len: int) -> jnp.ndarray:
+    col = jnp.arange(n_rows * wp, dtype=jnp.int32) % wp
+    return (col < w).astype(jnp.float32).reshape(1, n_rows * wp)
+
+
+def _row_idx(wp: int, n_rows: int) -> jnp.ndarray:
+    return (jnp.arange(n_rows * wp, dtype=jnp.int32) // wp).reshape(
+        1, n_rows * wp
+    )
+
+
+class _FusedPlan:
+    """Static geometry for the fused kernels (3x3, d=1, halo 2 per conv)."""
+
+    def __init__(self, geom: FlatGeom, cin: int, itemsize: int, halo: int):
+        # reuse _plan with the effective chained kernel to get the window
+        eff = 2 * halo + 1
+        dims = _ConvDims(eff, eff, 1, halo, halo)
+        p = _plan(geom, dims, cin, itemsize)
+        self.geom = geom
+        self.c = cin
+        self.tile = p.tile
+        self.stride = p.stride
+        self.g_blk = p.g_blk
+        self.n_blk = p.n_blk
+        self.len_in = p.len_in
+        self.start0 = p.start0
+        # origin O: window element of (row h0-halo, col -halo)
+        self.origin = -halo * geom.Wp - halo - p.start0
+        assert self.origin >= 0
+        self.halo = halo
+
+
+def _win(plan: _FusedPlan, rows: int) -> int:
+    """VMEM buffer length for `rows` rows (+128 slack for shifted taps)."""
+    return rows * plan.geom.Wp + 128
+
+
+def _x_spec(plan: _FusedPlan, cin: int):
+    hi_clamp = plan.geom.LB - plan.len_in
+
+    def x_index(ni, bi):
+        s = bi * plan.stride + plan.start0
+        s = jnp.clip(s, 0, hi_clamp)
+        return (ni, 0, pl.multiple_of(s, 128))
+
+    return pl.BlockSpec(
+        (None, pl.Element(cin), pl.Element(plan.len_in)), x_index
+    )
+
+
+def _conv_into(src_ref, xs_ref, w_ref, *, c, wp, row0, col0,
+               n_rows, precision):
+    """3x3 tap-stack conv: src rows [row0-1, row0-1+n_rows+2) -> n_rows rows.
+
+    src_ref: VMEM buffer whose element (r_rel, col) sits at flat index
+    r_rel*wp + col + col0 (col0 absorbs the window's column origin).
+    Returns the f32 accumulator [c, n_rows*wp].
+    """
+    L = n_rows * wp
+    for ky in range(3):
+        for kx in range(3):
+            q = (row0 - 1 + ky) * wp + (kx - 1) + col0
+            xs_ref[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c, :L] = (
+                src_ref[:, q:q + L]
+            )
+    return jax.lax.dot_general(
+        w_ref[:], xs_ref[:, :L], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, rid_ref,
+                o_ref, xs_ref, h0_ref, h1_ref, *, plan: _FusedPlan,
+                act_name: str, precision):
+    c, wp, t = plan.c, plan.geom.Wp, plan.tile
+    act, _ = _act_fns(act_name)
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < plan.g_blk, bi >= plan.n_blk - plan.g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        O = plan.origin
+        # h0 = relu(x) over rows [h0-2, h0+t+2); buffer element (r_rel, col)
+        # at r_rel*wp + col - 2 + ... : keep the raw window shift (col0=-2
+        # relative to O) and account for it in the tap offsets.
+        n0 = t + 4
+        h0_ref[:, : n0 * wp] = jnp.maximum(
+            x_ref[:, O:O + n0 * wp], 0.0
+        ).astype(h0_ref.dtype)
+        h0_ref[:, n0 * wp:] = jnp.zeros_like(h0_ref[:, n0 * wp:])
+        # conv1 -> u rows [h0-1, h0+t+1): src h0 rows offset row0=1
+        # (h0 buffer row 0 == global row h0-2), col0 = -2 shift baked into
+        # the buffer => taps need +2 to undo it... fold: col origin of the
+        # h0 buffer is -2, so a tap at col (kx-1) sits at +kx-1+2 = kx+1.
+        n1 = t + 2
+        u = _conv_into(h0_ref, xs_ref, w1_ref, c=c, wp=wp,
+                       row0=1, col0=2, n_rows=n1, precision=precision)
+        u_pre = u + b1_ref[:]
+        # conv1 outputs only exist on image rows [0, H): virtual rows in
+        # the halo must be exactly zero (the unfused stack's SAME padding),
+        # not act(b1)
+        h0g = (bi - plan.g_blk) * plan.tile
+        grow = h0g - 1 + rid_ref[:, : n1 * wp]
+        rvalid = jnp.logical_and(grow >= 0, grow < plan.geom.H)
+        keep = jnp.logical_and(m_ref[:, : n1 * wp] > 0, rvalid)
+        h1c = jnp.where(keep, act(u_pre), 0.0)  # where: kills NaN from the
+        # slack taps that a multiplicative mask would propagate
+        # h1 buffer: rows [h0-2, h0+t+2) with zero guard rows 0 and t+3,
+        # col origin 0
+        h1_ref[:, :wp] = jnp.zeros_like(h1_ref[:, :wp])
+        h1_ref[:, (t + 3) * wp:(t + 4) * wp] = jnp.zeros_like(
+            h1_ref[:, :wp]
+        )
+        h1_ref[:, wp:(t + 3) * wp] = h1c.astype(h1_ref.dtype)
+        h1_ref[:, (t + 4) * wp:] = jnp.zeros_like(h1_ref[:, (t + 4) * wp:])
+        # conv2 -> y rows [h0, h0+t): src h1 rows offset row0=2, col0=0
+        y = _conv_into(h1_ref, xs_ref, w2_ref, c=c, wp=wp,
+                       row0=2, col0=0, n_rows=t, precision=precision)
+        xcen = x_ref[:, O + 2 * wp + 2: O + 2 * wp + 2 + t * wp]
+        y_pre = y + b2_ref[:] + xcen.astype(jnp.float32)
+        o_ref[:] = jnp.where(m_ref[:, : t * wp] > 0, act(y_pre),
+                             0.0).astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref,
+                w2t_ref, m_ref, rid_ref, dx_ref, dw1_ref, dw2_ref, db1_ref,
+                db2_ref, xs_ref, h0_ref, h1_ref, gu_ref, gv_ref, *,
+                plan: _FusedPlan, act_name: str, precision):
+    """One-pass fused backward; recomputes h0/h1/y_pre windows in VMEM.
+
+    g_ref is the incoming cotangent window (same Element spec as x but with
+    halo 2), rows [h0-2, h0+t+2).
+    """
+    c, wp, t = plan.c, plan.geom.Wp, plan.tile
+    act, dact = _act_fns(act_name)
+    ni = pl.program_id(0)
+    bi = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(ni == 0, bi == 0))
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    is_guard = jnp.logical_or(bi < plan.g_blk, bi >= plan.n_blk - plan.g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        O = plan.origin  # (row h0-4, col -4) for the bwd halo-4 window
+        # recompute h0 = relu(x) rows [h0-4, h0+t+4)
+        n0 = t + 8
+        h0_ref[:, : n0 * wp] = jnp.maximum(
+            x_ref[:, O:O + n0 * wp], 0.0
+        ).astype(h0_ref.dtype)
+        h0_ref[:, n0 * wp:] = jnp.zeros_like(h0_ref[:, n0 * wp:])
+        # u_pre rows [h0-3, h0+t+3)
+        n1 = t + 6
+        u = _conv_into(h0_ref, xs_ref, w1_ref, c=c, wp=wp,
+                       row0=1, col0=4, n_rows=n1, precision=precision)
+        u_pre = u + b1_ref[:]
+        mask1 = m_ref[:, : n1 * wp]
+        h0g = (bi - plan.g_blk) * plan.tile
+        grow1 = h0g - 3 + rid_ref[:, : n1 * wp]
+        rv1 = jnp.logical_and(grow1 >= 0, grow1 < plan.geom.H)
+        h1c = jnp.where(jnp.logical_and(mask1 > 0, rv1), act(u_pre), 0.0)
+        h1_ref[:, :wp] = jnp.zeros_like(h1_ref[:, :wp])
+        h1_ref[:, (n1 + 1) * wp:(n1 + 2) * wp] = jnp.zeros_like(
+            h1_ref[:, :wp]
+        )
+        h1_ref[:, wp:(n1 + 1) * wp] = h1c.astype(h1_ref.dtype)
+        h1_ref[:, (n1 + 2) * wp:] = jnp.zeros_like(h1_ref[:, (n1 + 2) * wp:])
+        # y_pre rows [h0-2, h0+t+2): conv2 over h1 buffer (row origin h0-4,
+        # buffer row 0 = guard) -> out row r_rel corresponds to global
+        # h0-2+r_rel; src row offset row0=2, col0=0
+        n2 = t + 4
+        y = _conv_into(h1_ref, xs_ref, w2_ref, c=c, wp=wp,
+                       row0=2, col0=0, n_rows=n2, precision=precision)
+        xc = x_ref[:, O + 2 * wp + 4: O + 2 * wp + 4 + n2 * wp]
+        y_pre = y + b2_ref[:] + xc.astype(jnp.float32)
+        # incoming g rows [h0-2, h0+t+2) (own window origin: row h0-2,
+        # col -2 => element (r_rel, col) at r_rel*wp + col - 2 + Og)
+        Og = plan.origin  # same spec constant; g window uses halo-4 spec too
+        graw = g_ref[:, Og + 2 * wp + 4: Og + 2 * wp + 4 + n2 * wp]
+        g_yres = jnp.where(m_ref[:, : n2 * wp] > 0,
+                           graw.astype(jnp.float32), 0.0)
+        g_u2 = g_yres * dact(y_pre)  # cotangent of y_pre rows [h0-2,t+2)
+        # store g_u2 into a guarded buffer for the transposed conv
+        gu_ref[:, :wp] = jnp.zeros_like(gu_ref[:, :wp])
+        gu_ref[:, (n2 + 1) * wp:(n2 + 2) * wp] = jnp.zeros_like(
+            gu_ref[:, :wp]
+        )
+        gu_ref[:, wp:(n2 + 1) * wp] = g_u2.astype(gu_ref.dtype)
+        gu_ref[:, (n2 + 2) * wp:] = jnp.zeros_like(gu_ref[:, (n2 + 2) * wp:])
+        # g_h1 rows [h0-1, h0+t+1): transposed conv2 (flipped taps) over
+        # gu buffer (row origin h0-3): out row r_rel ~ global h0-1+r_rel,
+        # src row offset row0=2? buffer row 0 = guard (global h0-3):
+        # out global h0-1+r = buffer row (r+2); taps +-1 => row0=2, col0=0
+        n3 = t + 2
+        g_h1 = _conv_into(gu_ref, xs_ref, w2t_ref, c=c, wp=wp,
+                          row0=2, col0=0, n_rows=n3, precision=precision)
+        # u_pre rows [h0-3,t+3) -> slice rows [h0-1,t+1): offset 2 rows
+        u_cen = u_pre[:, 2 * wp: 2 * wp + n3 * wp]
+        grow3 = h0g - 1 + rid_ref[:, : n3 * wp]
+        rv3 = jnp.logical_and(grow3 >= 0, grow3 < plan.geom.H)
+        g_v = jnp.where(jnp.logical_and(m_ref[:, : n3 * wp] > 0, rv3),
+                        g_h1 * dact(u_cen), 0.0)
+        gv_ref[:, :wp] = jnp.zeros_like(gv_ref[:, :wp])
+        gv_ref[:, (n3 + 1) * wp:(n3 + 2) * wp] = jnp.zeros_like(
+            gv_ref[:, :wp]
+        )
+        gv_ref[:, wp:(n3 + 1) * wp] = g_v.astype(gv_ref.dtype)
+        gv_ref[:, (n3 + 2) * wp:] = jnp.zeros_like(gv_ref[:, (n3 + 2) * wp:])
+        # g_h0 rows [h0, h0+t): transposed conv1 over gv buffer (row
+        # origin h0-2): out global h0+r = buffer row r+2
+        g_h0 = _conv_into(gv_ref, xs_ref, w1t_ref, c=c, wp=wp,
+                          row0=2, col0=0, n_rows=t, precision=precision)
+        # dx = g_h0 * relu'(x_center) + g_yres_center (residual path)
+        xcen = x_ref[:, O + 4 * wp + 4: O + 4 * wp + 4 + t * wp]
+        # residual path: dL/dx += dL/dy_pre = g * act'(y_pre) = g_u2
+        g_res = g_u2[:, 2 * wp: 2 * wp + t * wp]
+        dx = g_h0 * (xcen.astype(jnp.float32) > 0) + g_res
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+
+        # --- weight/bias grads (partitioned over each conv's own output
+        # positions: center rows only) ---
+        # dw2[tap, co] += sum_l h1taps[tap, l] * g_u2_center[co, l]
+        g_u2c = g_u2[:, 2 * wp: 2 * wp + t * wp]
+        for ky in range(3):
+            for kx in range(3):
+                # h1 buffer row for out global h0+r is (r+4)+ky-1... h1
+                # buffer row 0 = global h0-5?? buffer origin: guard row 0
+                # = global h0-4-1? (see store above: rows 1..n1+1 hold
+                # u rows [h0-3, h0+t+3)) => global h0+r+dy at buffer row
+                # r + dy + 4; dy = ky-1 => row0 = r + ky + 3
+                q = (3 + ky) * wp + (kx - 1)
+                xs_ref[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c, : t * wp] = (
+                    h1_ref[:, q:q + t * wp]
+                )
+        dw2_ref[:] += jax.lax.dot_general(
+            xs_ref[:, : t * wp], g_u2c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        db2_ref[:] += jnp.sum(g_u2c, axis=1, keepdims=True)
+        # dw1[tap, co] += sum_l h0taps[tap, l] * g_v_center[co, l]
+        g_vc = g_v[:, 1 * wp: 1 * wp + t * wp]
+        for ky in range(3):
+            for kx in range(3):
+                # h0 buffer element (r_rel, col) at r_rel*wp + col - 4;
+                # v-output global h0+r taps h0 global row h0+r+ky-1 =
+                # buffer row r+ky+3, col c+kx-1 => +4 shift: kx+3
+                q = (3 + ky) * wp + (kx + 3)
+                xs_ref[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c, : t * wp] = (
+                    h0_ref[:, q:q + t * wp]
+                )
+        dw1_ref[:] += jax.lax.dot_general(
+            xs_ref[:, : t * wp], g_vc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        db1_ref[:] += jnp.sum(g_vc, axis=1, keepdims=True)
+
+
+def _mk_plans(geom: FlatGeom, c: int, itemsize: int):
+    fwd = _FusedPlan(geom, c, itemsize, halo=2)
+    bwd = _FusedPlan(geom, c, itemsize, halo=4)
+    # the two plans must agree on the block partition
+    assert fwd.tile == bwd.tile and fwd.n_blk == bwd.n_blk, (fwd, bwd)
+    return fwd, bwd
+
+
+def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
+                        res_depth: int, activation: str,
+                        itemsize: int = 2) -> bool:
+    if filter_size != 3 or res_depth != 2 or activation not in ("relu", "elu"):
+        return False
+    try:
+        dims = _ConvDims(9, 9, 1, 4, 4)  # bwd effective window
+        from msau_tpu.ops.flatconv import _check_dims
+
+        _check_dims(geom, dims)
+        _mk_plans(geom, c, itemsize)
+    except (AssertionError, ValueError):
+        return False
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flat_res_block(x, w1, b1, w2, b2, geom: FlatGeom, activation: str):
+    """Fused residual block on a body-flat tensor (see module docstring).
+
+    x: [N, C, LB]; w1, w2: [3, 3, C, C]; b1, b2: [C].
+    """
+    return _fused_fwd_call(x, w1, b1, w2, b2, geom, activation)
+
+
+def _w_stack(w, dtype):
+    return w.reshape(9 * w.shape[2], w.shape[3]).astype(dtype)
+
+
+def _w_t(w):
+    return jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+
+
+def _fused_fwd_call(x, w1, b1, w2, b2, geom, activation):
+    n, c, lb = x.shape
+    assert lb == geom.LB
+    plan = _FusedPlan(geom, c, x.dtype.itemsize, halo=2)
+    wp, t = geom.Wp, plan.tile
+    r = 9 * c
+    interp = _use_interpret()
+    kernel = functools.partial(
+        _fwd_kernel, plan=plan, act_name=activation,
+        precision=_dot_precision(x.dtype),
+    )
+    mask = _mask_row(wp, geom.W, t + 2, plan.stride)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, plan.n_blk),
+        in_specs=[
+            _x_spec(plan, c),
+            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((1, (t + 2) * wp), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((1, (t + 2) * wp), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, c, plan.stride),
+                               lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, c, geom.LB), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r, (t + 2) * wp), x.dtype),
+            pltpu.VMEM((c, _win(plan, t + 4)), x.dtype),
+            pltpu.VMEM((c, _win(plan, t + 4)), x.dtype),
+        ],
+        interpret=interp,
+    )(x, _w_stack(w1, x.dtype), b1.reshape(-1, 1).astype(jnp.float32),
+      _w_stack(w2, x.dtype), b2.reshape(-1, 1).astype(jnp.float32), mask,
+      _row_idx(wp, t + 2))
+
+
+def _fused_vjp_fwd(x, w1, b1, w2, b2, geom, activation):
+    y = _fused_fwd_call(x, w1, b1, w2, b2, geom, activation)
+    return y, (x, w1, b1, w2, b2)
+
+
+def _fused_vjp_bwd(geom, activation, res, g):
+    x, w1, b1, w2, b2 = res
+    n, c, lb = x.shape
+    plan = _FusedPlan(geom, c, x.dtype.itemsize, halo=4)
+    wp, t = geom.Wp, plan.tile
+    r = 9 * c
+    interp = _use_interpret()
+    g = body_mask(g, geom).astype(x.dtype)
+    kernel = functools.partial(
+        _bwd_kernel, plan=plan, act_name=activation,
+        precision=_dot_precision(x.dtype),
+    )
+    mask = _mask_row(wp, geom.W, t + 6, plan.stride)
+    dx, dw1s, dw2s, db1, db2 = pl.pallas_call(
+        kernel,
+        grid=(n, plan.n_blk),
+        in_specs=[
+            _x_spec(plan, c),
+            _x_spec(plan, c),
+            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((1, (t + 6) * wp), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((1, (t + 6) * wp), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, c, plan.stride), lambda ni, bi: (ni, 0, bi)),
+            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c, geom.LB), x.dtype),
+            jax.ShapeDtypeStruct((r, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, (t + 6) * wp), x.dtype),
+            pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
+            pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
+            pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
+            pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
+        ],
+        interpret=interp,
+    )(x, g, _w_stack(w1, x.dtype), b1.reshape(-1, 1).astype(jnp.float32),
+      _w_stack(w2, x.dtype), b2.reshape(-1, 1).astype(jnp.float32),
+      _w_stack(_w_t(w1), x.dtype), _w_stack(_w_t(w2), x.dtype), mask,
+      _row_idx(wp, t + 6))
+    dw1 = dw1s.reshape(3, 3, c, c).astype(w1.dtype)
+    dw2 = dw2s.reshape(3, 3, c, c).astype(w2.dtype)
+    return (dx, dw1, db1.reshape(-1).astype(jnp.float32),
+            dw2, db2.reshape(-1).astype(jnp.float32))
+
+
+flat_res_block.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def flat_res_block_reference(x, w1, b1, w2, b2, geom: FlatGeom,
+                             activation: str):
+    """Composition oracle via flat_conv2d, for tests."""
+    from msau_tpu.ops.flatconv import flat_conv2d
+
+    act, _ = _act_fns(activation)
+    h0 = jnp.maximum(x, 0)
+    h1 = act(flat_conv2d(h0, w1, b1, geom))
+    y = flat_conv2d(h1, w2, b2, geom)
+    return body_mask(act(y + x), geom)

@@ -1,0 +1,60 @@
+"""Fused residual block vs flat_conv2d composition oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msau_tpu.ops.flatconv import choose_geom, to_body
+from msau_tpu.ops.flatres import (
+    flat_res_block,
+    flat_res_block_reference,
+    fused_res_supported,
+)
+
+
+def _setup(h, w, c, act, key=0):
+    geom = choose_geom(h, w)
+    assert fused_res_supported(geom, c, 3, 2, act)
+    ks = jax.random.split(jax.random.PRNGKey(key), 5)
+    x = to_body(jax.random.normal(ks[0], (2, c, h, w)), geom)
+    w1 = jax.random.normal(ks[1], (3, 3, c, c)) * 0.3
+    b1 = jax.random.normal(ks[2], (c,)) * 0.1
+    w2 = jax.random.normal(ks[3], (3, 3, c, c)) * 0.3
+    b2 = jax.random.normal(ks[4], (c,)) * 0.1
+    return geom, x, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("h,w,c,act", [
+    (32, 48, 8, "relu"),
+    (32, 48, 8, "elu"),
+    (64, 96, 16, "relu"),
+])
+def test_fused_forward_matches_composition(h, w, c, act):
+    geom, x, w1, b1, w2, b2 = _setup(h, w, c, act)
+    got = flat_res_block(x, w1, b1, w2, b2, geom, act)
+    ref = flat_res_block_reference(x, w1, b1, w2, b2, geom, act)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("h,w,c,act", [
+    (32, 48, 8, "relu"),
+    (32, 48, 8, "elu"),
+])
+def test_fused_grads_match_composition(h, w, c, act):
+    geom, x, w1, b1, w2, b2 = _setup(h, w, c, act, key=7)
+    cw = jax.random.normal(jax.random.PRNGKey(9), (2, c, geom.LB))
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a, geom, act) * cw)
+
+    g_got = jax.grad(loss(flat_res_block), argnums=(0, 1, 2, 3, 4))(
+        x, w1, b1, w2, b2)
+    g_ref = jax.grad(loss(flat_res_block_reference), argnums=(0, 1, 2, 3, 4))(
+        x, w1, b1, w2, b2)
+    for got, ref, name in zip(g_got, g_ref, "x w1 b1 w2 b2".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3,
+            err_msg=f"grad wrt {name}",
+        )
