@@ -469,8 +469,13 @@ def body_upsample2(x_body: jnp.ndarray, geom_in: FlatGeom,
     n, c, _ = x_body.shape
     x = from_body(x_body, geom_in)
     ho, wo = geom_out.H, geom_out.W
-    up = jnp.zeros((n, c, 2 * geom_in.H, 2 * geom_in.W), x.dtype)
-    up = up.at[:, :, ::2, ::2].set(x)
+    # interior padding is XLA's native zero-insertion; the equivalent
+    # .at[::2, ::2].set scatter was measured at 12.8/10.3 ms fwd/bwd per
+    # 512^2 instance vs 7.2/2.6 for this form
+    up = jax.lax.pad(
+        x, jnp.zeros((), x.dtype),
+        ((0, 0, 0), (0, 0, 0), (0, 1, 1), (0, 1, 1)),
+    )
     return to_body(up[:, :, :ho, :wo], geom_out)
 
 
