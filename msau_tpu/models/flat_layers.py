@@ -29,11 +29,20 @@ Dtype = object
 
 
 def make_scale_geoms(h: int, w: int, n_scales: int, itemsize: int = 2,
-                     pool: int = 2) -> List[FlatGeom]:
-    """Geometries for scales 0..n_scales-1 (SAME-pool halving each scale)."""
+                     pool: int = 2, feat_root: int = 8,
+                     n_class: int = 17) -> List[FlatGeom]:
+    """Geometries for scales 0..n_scales-1 (SAME-pool halving each scale).
+
+    max_cin per scale: the widest flat conv is the up-tower merge
+    (2 * feat_root * pool**scale channels); scale 0 also sees the
+    n_class-channel entry conv of the coupled stages.
+    """
     geoms = []
-    for _ in range(n_scales):
-        geoms.append(choose_geom(h, w))
+    for s in range(n_scales):
+        cin = 2 * feat_root * pool ** s
+        if s == 0:
+            cin = max(cin, n_class)
+        geoms.append(choose_geom(h, w, itemsize=itemsize, max_cin=cin))
         h = -(-h // pool)
         w = -(-w // pool)
     return geoms

@@ -441,7 +441,8 @@ class MSAUNet(nn.Module):
             itemsize = 2 if dtype == jnp.bfloat16 else 4
             try:
                 geoms = tuple(make_scale_geoms(
-                    x.shape[1], x.shape[2], fs + 1, itemsize, cfg.pool_size
+                    x.shape[1], x.shape[2], fs + 1, itemsize, cfg.pool_size,
+                    feat_root=cfg.feat_root, n_class=cfg.n_class,
                 ))
             except ValueError:
                 # no 128-aligned flat tiling exists at this resolution

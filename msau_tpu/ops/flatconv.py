@@ -91,27 +91,44 @@ class FlatGeom(NamedTuple):
         return (self.n_h + 2) * self.S
 
 
+VMEM_XS_BUDGET = 6 * 2**20  # per-conv tap-stack scratch target
+
+
 def choose_geom(h: int, w: int, *, min_p: int = DEFAULT_P,
-                tile_cap: int = 32) -> FlatGeom:
+                tile_cap: int = 32, itemsize: int = 2,
+                max_cin: int = 17) -> FlatGeom:
     """Pick (P, tile_h): smallest feasible halo, largest aligned tile.
 
     tile_h only sets the guard-block size and the per-conv tile ceiling;
     each conv picks its own sub-tile dividing tile_h that fits its
     tap-stack in VMEM (_sub_tile), so a wide worst-case conv no longer
-    forces small grids on the narrow ones.
+    forces small grids on the narrow ones.  The widest conv expected at
+    this scale (max_cin, itemsize) must fit at SOME valid sub-tile —
+    f32 at 512^2 needs P=4 so that 16-row tiles align (P=2 only admits
+    32-row tiles, whose 17-channel f32 tap-stack blows the 16M VMEM).
     """
     # guards cost 2/(H/tile_h + 2) of every tensor and bigger tiles were
     # measured slower at the flagship shapes (604 vs 583 ms/step at
     # tile 64 vs 32), so prefer small aligned tiles; fall back to the
     # smallest feasible tile above the cap rather than failing.
     soft_cap = min(tile_cap, max(1, h // 8))
+    r_max = 9 * max_cin
+    fallback = None
     for p in range(min_p, min_p + 129):
         wp = w + 2 * p
         valid = [t for t in range(1, h + 1)
                  if h % t == 0 and (t * wp) % 128 == 0]
-        if valid:
-            capped = [t for t in valid if t <= soft_cap]
-            return FlatGeom(h, w, p, max(capped) if capped else min(valid))
+        if not valid:
+            continue
+        capped = [t for t in valid if t <= soft_cap]
+        tile = max(capped) if capped else min(valid)
+        geom = FlatGeom(h, w, p, tile)
+        if fallback is None:
+            fallback = geom
+        if r_max * min(valid) * wp * itemsize <= VMEM_XS_BUDGET:
+            return geom
+    if fallback is not None:
+        return fallback
     raise ValueError(f"no feasible flat geometry for H={h}, W={w}")
 
 
@@ -479,6 +496,58 @@ def body_upsample2(x_body: jnp.ndarray, geom_in: FlatGeom,
     return to_body(up[:, :, :ho, :wo], geom_out)
 
 
+def _pool2_halves(x_body, geom_in):
+    n, c, _ = x_body.shape
+    h, w, wp = geom_in.H, geom_in.W, geom_in.Wp
+    core = x_body[:, :, geom_in.S: geom_in.S + h * wp]
+    core = core.reshape(n, c, h // 2, 2 * wp)
+    a = core[..., :wp][..., :w]
+    b = core[..., wp:][..., :w]
+    return a, b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pool2_even(x_body, geom_in: FlatGeom, geom_out: FlatGeom):
+    a, b = _pool2_halves(x_body, geom_in)
+    rows = jnp.maximum(a, b)
+    p = jnp.maximum(rows[..., 0::2], rows[..., 1::2])
+    return to_body(p, geom_out)
+
+
+def _pool2_even_fwd(x_body, geom_in, geom_out):
+    return _pool2_even(x_body, geom_in, geom_out), x_body
+
+
+def _pool2_even_bwd(geom_in, geom_out, x_body, g):
+    """Route grads with interior pads; autodiff's strided-slice transposes
+    lowered to indexed scatters (~7 ms per 512^2 instance)."""
+    n, c, _ = x_body.shape
+    h, w, wp = geom_in.H, geom_in.W, geom_in.Wp
+    g4 = from_body(g, geom_out)
+    a, b = _pool2_halves(x_body, geom_in)
+    rows = jnp.maximum(a, b)
+    rme = rows[..., 0::2]
+    rmo = rows[..., 1::2]
+    m_e = rme >= rmo  # ties to the even column (reduce_window first-match)
+    zero = jnp.zeros((), g4.dtype)
+    ge = jax.lax.pad(jnp.where(m_e, g4, 0),
+                     zero, ((0, 0, 0),) * 3 + ((0, 1, 1),))
+    go = jax.lax.pad(jnp.where(m_e, 0, g4),
+                     zero, ((0, 0, 0),) * 3 + ((1, 0, 1),))
+    grm = ge + go  # [N, C, H/2, W]
+    m_a = a >= b
+    ga = jnp.pad(jnp.where(m_a, grm, 0),
+                 ((0, 0),) * 3 + ((0, 2 * geom_in.P),))
+    gb = jnp.pad(jnp.where(m_a, 0, grm),
+                 ((0, 0),) * 3 + ((0, 2 * geom_in.P),))
+    dxcore = jnp.concatenate([ga, gb], axis=-1).reshape(n, c, h * wp)
+    dx = jnp.pad(dxcore, ((0, 0), (0, 0), (geom_in.S, geom_in.S)))
+    return (dx,)
+
+
+_pool2_even.defvjp(_pool2_even_fwd, _pool2_even_bwd)
+
+
 def body_maxpool2(x_body: jnp.ndarray, geom_in: FlatGeom,
                   geom_out: FlatGeom) -> jnp.ndarray:
     """2x2 stride-2 SAME max pool on body-flat tensors.
@@ -486,7 +555,8 @@ def body_maxpool2(x_body: jnp.ndarray, geom_in: FlatGeom,
     Row-pair max first, directly on the flat form: the two rows of a pool
     window are lane-contiguous Wp-chunks, so the H-reduction is one
     reshape + max with no layout change (a 6-D reshape-max was measured
-    at 10/22 ms fwd/bwd per 512^2 instance vs 6/9 for this form).
+    at 10/22 ms fwd/bwd per 512^2 instance vs 6/9 for this form).  Even
+    shapes use a custom VJP that routes gradients with interior pads.
     """
     n, c, _ = x_body.shape
     h, w = geom_in.H, geom_in.W
@@ -498,13 +568,7 @@ def body_maxpool2(x_body: jnp.ndarray, geom_in: FlatGeom,
         p = x.reshape(n, c, h2 // 2, 2, w2 // 2, 2).max(axis=(3, 5))
         assert (p.shape[2], p.shape[3]) == (geom_out.H, geom_out.W)
         return to_body(p, geom_out)
-    wp = geom_in.Wp
-    core = x_body[:, :, geom_in.S: geom_in.S + h * wp]
-    core = core.reshape(n, c, h // 2, 2 * wp)
-    rows = jnp.maximum(core[..., :wp], core[..., wp:])[..., :w]
-    p = jnp.maximum(rows[..., 0::2], rows[..., 1::2])
-    assert (p.shape[2], p.shape[3]) == (geom_out.H, geom_out.W)
-    return to_body(p, geom_out)
+    return _pool2_even(x_body, geom_in, geom_out)
 
 
 def body_lrn(x_body: jnp.ndarray, size: int, alpha: float = 1e-4,

@@ -331,7 +331,8 @@ def _mk_plans(geom: FlatGeom, c: int, itemsize: int):
 
 def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
                         res_depth: int, activation: str,
-                        itemsize: int = 2) -> bool:
+                        itemsize: int = 2,
+                        vmem_budget: int = 12 * 2**20) -> bool:
     if filter_size != 3 or res_depth != 2 or activation not in ("relu", "elu"):
         return False
     try:
@@ -339,10 +340,16 @@ def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
         from msau_tpu.ops.flatconv import _check_dims
 
         _check_dims(geom, dims)
-        _mk_plans(geom, c, itemsize)
+        fwd, bwd = _mk_plans(geom, c, itemsize)
     except (AssertionError, ValueError):
         return False
-    return True
+    # actual bwd scratch: tap stack + 4 guarded row buffers + 2 windows
+    wp = geom.Wp
+    t = bwd.tile
+    scratch = (9 * c * (t + 6) * wp
+               + 4 * c * ((t + 8) * wp + 128)
+               + 2 * 2 * c * bwd.len_in) * itemsize
+    return scratch <= vmem_budget
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))

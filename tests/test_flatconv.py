@@ -234,3 +234,29 @@ def test_flat_model_dp_mesh_parity():
     psh = jax.device_put(params, NamedSharding(mesh, P()))
     _, m1 = step(TrainState.create(psh, opt), bsh)
     np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-5)
+
+
+def test_pool_custom_vjp_matches_autodiff():
+    """body_maxpool2's custom backward == autodiff of the same forward."""
+    from msau_tpu.ops.flatconv import _pool2_halves, choose_geom
+
+    gin = choose_geom(16, 24)
+    gout = choose_geom(8, 12)
+    x = to_body(jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 24)), gin)
+    cw = jax.random.normal(jax.random.PRNGKey(1), (2, 4, gout.LB))
+
+    def auto_fwd(xb):  # same math, default autodiff
+        a, b = _pool2_halves(xb, gin)
+        rows = jnp.maximum(a, b)
+        p = jnp.maximum(rows[..., 0::2], rows[..., 1::2])
+        return to_body(p, gout)
+
+    def custom_fwd(xb):
+        return body_maxpool2(xb, gin, gout)
+
+    np.testing.assert_allclose(np.asarray(custom_fwd(x)),
+                               np.asarray(auto_fwd(x)), rtol=1e-6)
+    g0 = jax.grad(lambda v: jnp.sum(auto_fwd(v) * cw))(x)
+    g1 = jax.grad(lambda v: jnp.sum(custom_fwd(v) * cw))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5,
+                               atol=1e-6)
