@@ -64,6 +64,12 @@ def main():
 
     hw = 128 if quick else 512
     bs = 2 if quick else 16
+    if quick:
+        # the quick path is a smoke test: skip the flat-layout Pallas
+        # kernel set (its first remote AOT compile alone is ~10 min)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, flat_scales=0)
 
     model = build_model(cfg)
     optimizer = make_optimizer(tcfg)
