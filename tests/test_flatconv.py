@@ -260,3 +260,25 @@ def test_pool_custom_vjp_matches_autodiff():
     g1 = jax.grad(lambda v: jnp.sum(custom_fwd(v) * cw))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_geometry_respects_dtype_vmem_budget():
+    """f32 at 512^2 must pick a halo whose min aligned tile fits VMEM.
+
+    P=2 only admits 32-row tiles at Wp=516; a 17-channel f32 tap-stack
+    then needs 19.3M of scoped VMEM (> 16M) — the config-2 OOM.  The
+    itemsize-aware choose_geom must move to P=4 where 16-row tiles align.
+    """
+    from msau_tpu.models.flat_layers import make_scale_geoms
+    from msau_tpu.ops.flatconv import VMEM_XS_BUDGET
+
+    for itemsize in (2, 4):
+        geoms = make_scale_geoms(512, 512, 3, itemsize)
+        for s, g in enumerate(geoms):
+            cin = max(2 * 8 * 2**s, 17 if s == 0 else 0)
+            valid = [t for t in range(1, g.H + 1)
+                     if g.H % t == 0 and (t * g.Wp) % 128 == 0]
+            assert 9 * cin * min(valid) * g.Wp * itemsize <= VMEM_XS_BUDGET, (
+                itemsize, s, g)
+    # the tuned bf16 flagship geometry must stay put
+    assert make_scale_geoms(512, 512, 2, 2)[0] == (512, 512, 2, 32)
