@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from msau_tpu.ops.flatconv import (
+    VMEM_XS_BUDGET,
     FlatGeom,
     choose_geom,
     flat_conv2d,
@@ -61,8 +62,13 @@ def body_to_nhwc(x_body: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
 
 
 def flat_eligible(cin: int, kh: int, kw: int, geom: FlatGeom,
-                  itemsize: int, budget: int = 8 * 2**20) -> bool:
-    """Does the tap-stack scratch fit VMEM at this geometry's smallest tile?"""
+                  itemsize: int, budget: int = VMEM_XS_BUDGET) -> bool:
+    """Does the tap-stack scratch fit VMEM at this geometry's smallest tile?
+
+    Uses the same budget as ``choose_geom``/``_sub_tile`` so a conv that is
+    admitted here is guaranteed a sub-tile that actually fits (a previous
+    8 MiB gate could admit convs the 6 MiB tiler then couldn't place).
+    """
     ts = [t for t in range(1, geom.tile_h + 1)
           if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
     t_min = min(ts)

@@ -113,7 +113,6 @@ def choose_geom(h: int, w: int, *, min_p: int = DEFAULT_P,
     # smallest feasible tile above the cap rather than failing.
     soft_cap = min(tile_cap, max(1, h // 8))
     r_max = 9 * max_cin
-    fallback = None
     for p in range(min_p, min_p + 129):
         wp = w + 2 * p
         valid = [t for t in range(1, h + 1)
@@ -122,19 +121,28 @@ def choose_geom(h: int, w: int, *, min_p: int = DEFAULT_P,
             continue
         capped = [t for t in valid if t <= soft_cap]
         tile = max(capped) if capped else min(valid)
-        geom = FlatGeom(h, w, p, tile)
-        if fallback is None:
-            fallback = geom
         if r_max * min(valid) * wp * itemsize <= VMEM_XS_BUDGET:
-            return geom
-    if fallback is not None:
-        return fallback
-    raise ValueError(f"no feasible flat geometry for H={h}, W={w}")
+            return FlatGeom(h, w, p, tile)
+    # No (P, tile) keeps the widest expected conv's tap-stack within the
+    # VMEM budget (e.g. odd W where only large row tiles align): raise so
+    # MSAUNet's except ValueError cleanly degrades to the NHWC path rather
+    # than shipping a geometry that fails in the Mosaic compiler at runtime.
+    raise ValueError(
+        f"no VMEM-feasible flat geometry for H={h}, W={w} "
+        f"(max_cin={max_cin}, itemsize={itemsize})"
+    )
 
 
 def _sub_tile(geom: FlatGeom, r: int, itemsize: int,
-              budget: int = 6 * 2**20) -> int:
-    """Per-conv row-block: largest aligned divisor of tile_h within budget."""
+              budget: int = VMEM_XS_BUDGET) -> int:
+    """Per-conv row-block: largest aligned divisor of tile_h within budget.
+
+    Shares VMEM_XS_BUDGET with choose_geom and flat_layers.flat_eligible so
+    eligibility and the actual tile choice agree: any conv admitted by
+    flat_eligible has r * min(valid) * Wp * itemsize <= budget, hence
+    `fitting` below is non-empty; min(valid) is kept only as a belt-and-
+    braces fallback for direct callers that bypass the eligibility gate.
+    """
     valid = [t for t in range(1, geom.tile_h + 1)
              if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
     assert valid, geom  # t == tile_h always qualifies by FlatGeom invariant
@@ -264,6 +272,12 @@ def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, xs_ref, *,
 
 def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, *, plan: _Plan, offs,
                cin: int, cout: int, precision):
+    # The first-visit zero-init + `+=` accumulation below relies on the
+    # default sequential ('arbitrary') grid semantics: every grid step
+    # revisits the same dw block in order.  Do NOT add
+    # dimension_semantics=('parallel', ...) to this pallas_call — a
+    # parallel batch dim would race the accumulator and silently corrupt
+    # weight gradients.
     ni = pl.program_id(0)
     bi = pl.program_id(1)
 

@@ -193,6 +193,10 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref,
     ni = pl.program_id(0)
     bi = pl.program_id(1)
 
+    # The first-visit zero-init + `+=` weight-grad accumulation assumes the
+    # default sequential ('arbitrary') grid order; dimension_semantics=
+    # ('parallel', ...) would race the dw/db accumulators (see the matching
+    # note on flatconv._dw_kernel).
     @pl.when(jnp.logical_and(ni == 0, bi == 0))
     def _():
         dw1_ref[:] = jnp.zeros_like(dw1_ref)

@@ -35,6 +35,10 @@ def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray,
     # on TPU (measured ~130 ms/step at 16x512^2x17 incl. the scatter in its
     # backward); the compare fuses into the softmax reads.
     nclass = logits.shape[channel_axis]
+    # out-of-range labels would match no class and silently yield 0 CE;
+    # clamp to the last class (take_along_axis's old clip semantics) so a
+    # data bug produces a visible nonzero loss instead of vanishing.
+    labels = jnp.clip(labels, 0, nclass - 1)
     shape = [1] * logits.ndim
     shape[channel_axis] = nclass
     classes = jnp.arange(nclass).reshape(shape)
