@@ -72,10 +72,8 @@ def load_funsd_page(path: str, label_to_id: Dict[str, int] = FUNSD_LABEL_TO_ID) 
     return Page(lines=lines, path=path)
 
 
-def load_label_json_page(path: str) -> Page:
-    """Labeling-tool format: lines carry integer 'type' and 'value' ids."""
-    with open(path, encoding="utf-8") as f:
-        doc = json.load(f)
+def page_from_label_dict(doc: Dict, path: Optional[str] = None) -> Page:
+    """Labeling-tool dict -> Page (lines carry integer 'type'/'value' ids)."""
     lines = [
         Line(
             box=tuple(l["box"]),
@@ -87,6 +85,13 @@ def load_label_json_page(path: str) -> Page:
     ]
     shape = tuple(doc["img_shape"][:2]) if "img_shape" in doc else None
     return Page(lines=lines, img_shape=shape, path=path)
+
+
+def load_label_json_page(path: str) -> Page:
+    """Labeling-tool format: lines carry integer 'type' and 'value' ids."""
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    return page_from_label_dict(doc, path=path)
 
 
 def save_label_json(path: str, img_shape: Sequence[int], lines: Sequence[Line]) -> None:

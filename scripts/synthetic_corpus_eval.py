@@ -1,22 +1,28 @@
 """Held-out accuracy point: train on a synthetic multi-page KV corpus and
 report field-level P/R/F1 on unseen pages (VERDICT round-1 next-step #9 —
 no FUNSD annotations exist in this environment, so the corpus is generated
-in the labeling-tool JSON format the reference consumes).
+in the labeling-tool JSON format the reference consumes; generator in
+msau_tpu/data/synth.py).
 
-Each page is a randomized bank-transfer-style form over the default
-17-class schema: 8 key/value pairs with jittered layout, per-field value
-generators, random field dropout, and an occasionally multi-line field
-(value 4 → class 5, one of the reference ``multiple_lines_fields``).  The
-model never sees the held-out layouts or value strings.
+The model never sees the held-out layouts or value strings.  The F1 metric
+replays the reference acceptance metric (inference/kv_model.py:374-385,
+IoU > 0.7 box matching).
 
-Run:  python scripts/synthetic_corpus_eval.py [--quick] [--cpu]
+Run:  python scripts/synthetic_corpus_eval.py \
+          [--quick | --smoke] [--cpu] [--dtype f32|bf16] [--flat N]
 Prints one JSON line {"precision", "recall", "f1", ...}.
+
+The round-3 accuracy protocol (VERDICT round-2 #1) runs this twice on-chip:
+  --dtype f32  --flat 0   (plain NHWC/f32 graph)
+  --dtype bf16 --flat 2   (flagship fast path: flat Pallas kernels, bf16)
+and asserts the two F1s match — the custom-VJP fast path must not cost
+accuracy.
 """
 
+import argparse
 import dataclasses
 import json
 import os
-import string
 import sys
 import tempfile
 import time
@@ -25,72 +31,26 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if "--cpu" in sys.argv:
-    import jax
 
-    jax.config.update("jax_platforms", "cpu")
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small corpus / few epochs")
+    ap.add_argument("--smoke", action="store_true",
+                    help="minimal corpus, 2 epochs — CI smoke test")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--flat", type=int, default=0,
+                    help="ModelConfig.flat_scales (channel-major fast path)")
+    ap.add_argument("--epochs", type=int, default=0, help="override epochs")
+    args = ap.parse_args(argv)
+    quick = args.quick or args.smoke
 
-FIELDS = [
-    # (key text, value generator)
-    ("Bank Name", "words"),
-    ("Branch", "words"),
-    ("Account No", "digits"),
-    ("Amount", "amount"),       # value 4 -> class 5: multi-line capable
-    ("Holder", "name"),
-    ("Kana", "words"),
-    ("Branch Code", "digits"),
-    ("Institution", "words"),
-]
+    if args.cpu:
+        import jax
 
-WORDS = [
-    "First", "National", "Central", "Pacific", "Union", "Metro", "Trust",
-    "Sakura", "Mizuho", "Plaza", "Harbor", "Summit", "Valley", "River",
-]
-NAMES = ["Alexandra", "Tanaka", "Suzuki", "Jordan", "Morgan", "Casey", "Robin"]
+        jax.config.update("jax_platforms", "cpu")
 
-
-def gen_value(kind, rng):
-    if kind == "digits":
-        return "".join(rng.choice(list(string.digits), rng.integers(5, 9)))
-    if kind == "amount":
-        return "%s,%03d" % (
-            "".join(rng.choice(list("123456789"), 1)), rng.integers(0, 1000)
-        )
-    if kind == "name":
-        return " ".join(rng.choice(NAMES, 2))
-    return " ".join(rng.choice(WORDS, rng.integers(1, 3)))
-
-
-def make_page(rng):
-    """One randomized form in labeling-tool JSON dict format."""
-    w = int(rng.integers(500, 700))
-    lines = []
-    y = int(rng.integers(30, 60))
-    order = rng.permutation(len(FIELDS))
-    for fi in order:
-        key, kind = FIELDS[fi]
-        if rng.random() < 0.15:      # field dropout
-            continue
-        vtext = gen_value(kind, rng)
-        xk = int(rng.integers(20, 60))
-        kw_ = 14 * len(key)
-        lines.append({"box": [xk, y, xk + kw_, y + 24], "text": key,
-                      "type": 1, "value": 0})
-        xv = xk + kw_ + int(rng.integers(20, 60))
-        lines.append({"box": [xv, y, xv + 14 * len(vtext), y + 24],
-                      "text": vtext, "type": 2, "value": int(fi) + 1})
-        y += int(rng.integers(34, 56))
-        # multi-line continuation for the Amount field (class 5)
-        if kind == "amount" and rng.random() < 0.5:
-            cont = gen_value("digits", rng)
-            lines.append({"box": [xv, y, xv + 14 * len(cont), y + 24],
-                          "text": cont, "type": 2, "value": int(fi) + 1})
-            y += int(rng.integers(34, 56))
-    return {"img_shape": [y + 30, w], "lines": lines}
-
-
-def main():
-    quick = "--quick" in sys.argv
     import jax
     import jax.numpy as jnp
     import optax
@@ -98,32 +58,32 @@ def main():
     import msau_tpu
 
     msau_tpu.configure_tpu_precision()
+    try:  # reuse compiled kernels across runs
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     from msau_tpu.config import InferConfig, ModelConfig
-    from msau_tpu.data.charset import Charset
     from msau_tpu.data.pages import load_label_json_page
     from msau_tpu.data.rasterize import paint_boxes, round_up
+    from msau_tpu.data.synth import write_corpus
     from msau_tpu.infer.kv_model import KVModel
     from msau_tpu.infer.schema import FieldSchema
     from msau_tpu.models.msau import build_model
     from msau_tpu.train.loss import unet_loss
 
     rng = np.random.default_rng(7)
-    n_train, n_test = (6, 3) if quick else (40, 12)
+    if args.smoke:
+        n_train, n_test = 2, 1
+    elif args.quick:
+        n_train, n_test = 6, 3
+    else:
+        n_train, n_test = 40, 12
     out_dir = tempfile.mkdtemp(prefix="msau_corpus_")
-    train_paths, test_paths = [], []
-    corpus = []
-    for i in range(n_train + n_test):
-        doc = make_page(rng)
-        p = os.path.join(out_dir, f"page{i:03d}.json")
-        with open(p, "w") as f:
-            json.dump(doc, f)
-        (train_paths if i < n_train else test_paths).append(p)
-        corpus.extend(l["text"] for l in doc["lines"])
-
-    charset_path = os.path.join(out_dir, "charset.txt")
-    with open(charset_path, "w") as f:
-        f.write("".join(sorted(set("".join(corpus)))))
+    train_paths, test_paths, charset_path = write_corpus(
+        out_dir, n_train, n_test, rng
+    )
 
     n_class = 17
     schema = FieldSchema()  # default bank-transfer schema, multiline (5, 11)
@@ -171,6 +131,8 @@ def main():
         img_channels=kv.charset.n_token, n_class=n_class,
         scale_space_num=3, res_depth=2, feat_root=8,
         num_blocks=1 if quick else 2,
+        dtype="bfloat16" if args.dtype == "bf16" else "float32",
+        flat_scales=args.flat,
     )
     model = build_model(mc)
     params = model.init(jax.random.PRNGKey(0), batches[0][0][:1])
@@ -178,17 +140,32 @@ def main():
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-3))
     opt_state = tx.init(params)
 
+    # flat_scales emits compact NCHW logits straight from the body layout;
+    # the channel_axis-aware loss consumes them without the padded NHWC
+    # transpose (same wiring as train/trainer.py:68-90)
+    layout = "NCHW" if mc.flat_scales > 0 else "NHWC"
+    caxis = 1 if mc.flat_scales > 0 else -1
+
     @jax.jit
     def step(params, opt_state, xb, yb):
         def loss_fn(p):
-            _, logits, aux = model.apply(p, xb, train=True)
-            return unet_loss(logits, yb, aux_logits=aux, class_weights=cw)
+            _, logits, aux = model.apply(p, xb, train=True,
+                                         logits_layout=layout)
+            return unet_loss(logits, yb, aux_logits=aux, class_weights=cw,
+                             channel_axis=caxis)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss, metrics
 
-    epochs = 10 if quick else 60
+    if args.epochs:
+        epochs = args.epochs
+    elif args.smoke:
+        epochs = 2
+    elif args.quick:
+        epochs = 10
+    else:
+        epochs = 60
     t0 = time.time()
     for e in range(epochs):
         tot = 0.0
@@ -200,9 +177,14 @@ def main():
                   f"acc {float(metrics['accuracy']):.3f}")
     print(f"trained in {time.time() - t0:.1f}s")
 
-    kv.model_config = mc
-    kv.model = model
-    kv.params = params
+    # serve through the NHWC/f32 graph regardless of the training layout
+    # (KVModel.load strips flat_scales the same way); param trees are
+    # layout-independent so the trained params drop straight in
+    kv.model_config = dataclasses.replace(mc, flat_scales=0, dtype="float32")
+    kv.model = build_model(kv.model_config)
+    kv.params = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), params
+    )
 
     _, eval_results, summary = kv.run_test(
         test_paths, label_dir=out_dir
@@ -211,6 +193,9 @@ def main():
         "metric": "held-out synthetic corpus field F1",
         "train_pages": n_train,
         "test_pages": n_test,
+        "dtype": args.dtype,
+        "flat_scales": args.flat,
+        "epochs": epochs,
         **{k: round(v, 4) for k, v in summary.items()},
     }
     print(json.dumps(result))

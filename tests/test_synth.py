@@ -1,0 +1,76 @@
+"""Synthetic corpus generator + held-out eval script smoke coverage
+(VERDICT round-2 #1: 'plus a smoke test that the eval script runs', and
+weak #4/#6: structured bench labels, untested eval script)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_make_page_schema():
+    from msau_tpu.data.synth import FIELDS, make_page
+
+    rng = np.random.default_rng(0)
+    page = make_page(rng)
+    assert page["img_shape"][0] > 0 and page["img_shape"][1] == 700
+    assert page["lines"], "page generated no lines"
+    for line in page["lines"]:
+        assert set(line) == {"box", "text", "type", "value"}
+        x1, y1, x2, y2 = line["box"]
+        assert x2 > x1 and y2 > y1
+        assert 0 <= line["value"] <= len(FIELDS)
+    # keys carry value 0, values carry 1-based field ids
+    assert any(l["value"] > 0 for l in page["lines"])
+    assert any(l["type"] == 1 and l["value"] == 0 for l in page["lines"])
+
+
+def test_make_page_dense_raises_resolution():
+    """Multi-column pages must rasterize into a larger bucket (serve bench
+    at 512^2 depends on this)."""
+    from msau_tpu.data.synth import make_page
+
+    rng = np.random.default_rng(1)
+    small = make_page(rng)
+    dense = make_page(rng, n_cols=5, rows_per_col=10)
+    h1, w1 = small["img_shape"]
+    h2, w2 = dense["img_shape"]
+    # scale = 3 / 24 px line height -> raster dims = extent / 8
+    assert w2 / 8 > 256 >= w1 / 8
+    assert h2 / 8 > 256
+
+
+def test_structured_batch_learnable():
+    from msau_tpu.data.synth import make_structured_batch
+
+    rng = np.random.default_rng(2)
+    x, label = make_structured_batch(rng, 2, 64, 5, 8)
+    assert x.shape == (2, 64, 64, 8) and label.shape == (2, 64, 64)
+    assert label.max() < 5 and label.min() == 0
+    assert (label > 0).mean() > 0.1, "rectangles should cover real area"
+    # the class signal must be present: inside class-c pixels, channel
+    # c % channels is ~1 above the noise floor
+    for c in range(1, 5):
+        mask = label == c
+        if mask.sum() == 0:
+            continue
+        sig = x[..., c % 8][mask].mean()
+        assert sig > 0.5, (c, sig)
+
+
+def test_corpus_eval_script_smoke(tmp_path):
+    """The held-out F1 script must run end-to-end (VERDICT round-2 #6)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "synthetic_corpus_eval.py"),
+         "--smoke", "--cpu"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(last)
+    assert {"precision", "recall", "f1"} <= set(out)
