@@ -224,3 +224,65 @@ class ChargridProvider:
     def __exit__(self, *exc):
         self.stop_all()
         return False
+
+
+class BatchingProvider:
+    """Group same-bucket bs=1 batches from an inner provider into bs=N
+    global batches for SPMD data parallelism.
+
+    The reference trains at batch 1 (train_chargrid_funsd_msau.py:44);
+    a data-parallel mesh needs batch = n_devices * per_device_batch with a
+    single static shape, so items are stashed per bucket shape and emitted
+    once a full group of ``batch_size`` accumulates.  ``max_pulls`` bounds
+    the wait when the stream ends mid-group (leftovers are dropped, like
+    drop_last batching).
+    """
+
+    def __init__(self, inner, batch_size: int, max_pulls: int = 256):
+        assert batch_size >= 1
+        self.inner = inner
+        self.batch_size = batch_size
+        self.max_pulls = max_pulls
+        self._stash: Dict[str, Dict[tuple, list]] = {}
+
+    @property
+    def size_val(self) -> int:
+        return getattr(self.inner, "size_val", 0) // self.batch_size
+
+    @property
+    def size_train(self) -> int:
+        return getattr(self.inner, "size_train", 0) // self.batch_size
+
+    def next_data(self, split: str = "train"):
+        if self.batch_size == 1:
+            return self.inner.next_data(split)
+        stash = self._stash.setdefault(split, {})
+        for _ in range(self.max_pulls):
+            item = self.inner.next_data(split)
+            if item is None:
+                return None
+            key = tuple(item["input"].shape)
+            group = stash.setdefault(key, [])
+            group.append(item)
+            if len(group) == self.batch_size:
+                stash.pop(key)
+                return {
+                    k: np.concatenate([it[k] for it in group])
+                    for k in group[0]
+                }
+        return None
+
+    def stop_all(self) -> None:
+        if hasattr(self.inner, "stop_all"):
+            self.inner.stop_all()
+
+    def restart_val_runner(self) -> None:
+        """Reference-API shim: our val workers cycle continuously, nothing
+        to restart (the reference leaked threads here)."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop_all()
+        return False

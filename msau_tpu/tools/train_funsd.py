@@ -39,6 +39,14 @@ def main(argv=None):
     p.add_argument("--flat_scales", type=int, default=0,
                    help="shallow scales in the channel-major Pallas layout "
                         "(TPU training speedup; 2 for the flagship config)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="data-parallel device count: builds a 'data' Mesh "
+                        "and shards batches over it (GSPMD gradient psum)")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="global batch (reference entry A is 1); must be a "
+                        "multiple of --devices; same-shape grids are "
+                        "grouped, leftovers train at batch 1 (single "
+                        "device) or are dropped (multi-device)")
     args = p.parse_args(argv)
 
     import jax
@@ -108,11 +116,40 @@ def main(argv=None):
     val_batches = make_batches(val_idx, train_ex)
     test_batches = make_batches(list(test_ex), None) if test_ex else []
 
+    if args.batch_size > 1:
+        assert args.batch_size % args.devices == 0, (
+            "--batch_size must be a multiple of --devices"
+        )
+        by_shape = {}
+        for b in train_batches:
+            by_shape.setdefault(b["input"].shape, []).append(b)
+        grouped = []
+        for items in by_shape.values():
+            for i in range(0, len(items), args.batch_size):
+                chunk = items[i : i + args.batch_size]
+                if len(chunk) == args.batch_size:
+                    grouped.append(
+                        {k: np.concatenate([c[k] for c in chunk]) for k in chunk[0]}
+                    )
+                elif args.devices == 1:
+                    grouped.extend(chunk)  # leftover singles still train
+        print(f"grouped into {len(grouped)} batches of <= {args.batch_size}")
+        train_batches = grouped
+
     tc = TrainConfig(
         optimizer="adam", learning_rate=args.lr, lr_decay_staircase=False,
         grad_clip_norm=1.0, masked_loss=True, seed=args.seed,
     )
-    trainer = Trainer(mc, tc)
+    mesh = None
+    if args.devices > 1:
+        from msau_tpu.parallel.sharding import make_mesh
+
+        n_avail = len(jax.devices())
+        assert args.devices <= n_avail, (
+            f"--devices {args.devices} but only {n_avail} available"
+        )
+        mesh = make_mesh((args.devices,), ("data",))
+    trainer = Trainer(mc, tc, mesh=mesh)
     trainer.init_state(train_batches[0]["input"])
     prefix = gen_prefix("funsd", "msau", mc.feat_root, n_class)
 

@@ -45,11 +45,22 @@ def main(argv=None):
     p.add_argument("--flat_scales", type=int, default=0,
                    help="shallow scales in the channel-major Pallas layout "
                         "(TPU training speedup; 2 for the flagship config)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="data-parallel device count: builds a 'data' Mesh, "
+                        "shards the batch over it and lets GSPMD reduce the "
+                        "gradients (SURVEY.md §2.10)")
+    p.add_argument("--per_device_batch", type=int, default=1,
+                   help="examples per device; global batch = "
+                        "devices * per_device_batch (same-bucket pages are "
+                        "grouped by the BatchingProvider)")
     args = p.parse_args(argv)
+
+    import jax
 
     from msau_tpu.config import DataConfig, ModelConfig, TrainConfig
     from msau_tpu.data.charset import Charset
-    from msau_tpu.data.pipeline import ChargridProvider
+    from msau_tpu.data.pipeline import BatchingProvider, ChargridProvider
+    from msau_tpu.parallel.sharding import make_mesh
     from msau_tpu.train.trainer import Trainer
 
     charset = Charset.from_file(args.charset)
@@ -89,8 +100,19 @@ def main(argv=None):
         masked_loss=False,
         donate_state=False,
     )
-    trainer = Trainer(mc, tc)
-    with ChargridProvider(train_paths, val_paths, charset, dcfg) as provider:
+    mesh = None
+    global_batch = args.devices * args.per_device_batch
+    if args.devices > 1:
+        n_avail = len(jax.devices())
+        assert args.devices <= n_avail, (
+            f"--devices {args.devices} but only {n_avail} available"
+        )
+        mesh = make_mesh((args.devices,), ("data",))
+    trainer = Trainer(mc, tc, mesh=mesh)
+    with ChargridProvider(train_paths, val_paths, charset, dcfg) as inner:
+        provider = (
+            BatchingProvider(inner, global_batch) if global_batch > 1 else inner
+        )
         first = provider.next_data("train")
         assert first is not None, "no training data"
         trainer.init_state(first["input"])
