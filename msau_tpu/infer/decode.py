@@ -47,13 +47,16 @@ from msau_tpu.ops.morphology import r_closing
 # ---------------------------------------------------------------------------
 @functools.partial(
     jax.jit,
-    static_argnames=("n_class", "num_lines", "k", "min_area", "max_iters"),
+    static_argnames=(
+        "multiline_classes", "n_class", "num_lines", "k", "min_area",
+        "max_iters",
+    ),
 )
 def decode_fields_device(
     pred: jnp.ndarray,        # [H, W, n_class] probs or logits
     line_id: jnp.ndarray,     # [H, W] int32, 1-based line ids (0 = none)
     char_id: jnp.ndarray,     # [H, W] int32, 1-based char positions
-    multiline: jnp.ndarray,   # [n_class] bool
+    multiline_classes: Tuple[int, ...] = (),   # static class-id set
     *,
     n_class: int,
     num_lines: int,
@@ -106,37 +109,93 @@ def decode_fields_device(
     )                                                        # [HW+1]
     exists = (count > 0) & (jnp.arange(hw1, dtype=jnp.int32) > 0)
 
-    def select(c, is_multiline):
-        """Component-table selection for one class — [HW+1] table math only,
-        no grid sweeps (kv_model.py:182-218 policy)."""
+    def select_common(c, main):
+        in_c = exists & (cls_of == c)
+        active = in_c[main] & (area[main] >= min_area)
+        main_bbox = jnp.where(
+            active, jnp.stack([x1[main], y1[main], x2[main], y2[main]]), 0
+        )
+        return in_c, active, main_bbox
+
+    def select_simple(c):
+        """Single-line class: main = largest-bbox component, no alt slots
+        (kv_model.py:182-195 policy).  Skips the [HW+1] top_k entirely —
+        only multiline classes pay for alt-component extraction."""
+        in_c = exists & (cls_of == c)
+        main = jnp.argmax(jnp.where(in_c, area, -1))
+        _, active, main_bbox = select_common(c, main)
+        zeros_k = jnp.zeros((k,), jnp.int32)
+        return {
+            "active": active,
+            "main_bbox": main_bbox,
+            "alt_bbox": jnp.zeros((k, 4), jnp.int32),
+            "alt_valid": jnp.zeros((k,), bool),
+            "roots": jnp.concatenate([main[None], zeros_k]),
+            "roots_valid": jnp.concatenate(
+                [active[None], jnp.zeros((k,), bool)]
+            ),
+        }
+
+    def select_multiline(c):
+        """Multi-line class: main = topmost center, alt = all components
+        with area > min_area (kv_model.py:196-218 policy)."""
         in_c = exists & (cls_of == c)
         ycenter2 = jnp.where(in_c, y1 + y2, INF)  # 2*ycenter, monotone
-        area_key = jnp.where(in_c, area, -1)
-        main = jnp.where(is_multiline, jnp.argmin(ycenter2), jnp.argmax(area_key))
-        active = in_c[main] & (area[main] >= min_area)
-        alt_ok = in_c & (area > min_area)
-        is_alt = alt_ok & (jnp.arange(hw1) != main) & is_multiline
+        main = jnp.argmin(ycenter2)
+        _, active, main_bbox = select_common(c, main)
+        is_alt = in_c & (area > min_area) & (jnp.arange(hw1) != main)
         alt_vals, alt_roots = jax.lax.top_k(jnp.where(is_alt, area, 0), k)
         alt_valid = (alt_vals > 0) & active
         alt_bbox = jnp.stack(
             [x1[alt_roots], y1[alt_roots], x2[alt_roots], y2[alt_roots]], -1
         )
         alt_bbox = jnp.where(alt_valid[:, None], alt_bbox, 0)
-        main_bbox = jnp.where(
-            active, jnp.stack([x1[main], y1[main], x2[main], y2[main]]), 0
-        )
-        roots = jnp.concatenate([main[None], alt_roots])         # [K+1]
-        roots_valid = jnp.concatenate([active[None], alt_valid])
         return {
             "active": active,
             "main_bbox": main_bbox,
             "alt_bbox": alt_bbox,
             "alt_valid": alt_valid,
-            "roots": roots,
-            "roots_valid": roots_valid,
+            "roots": jnp.concatenate([main[None], alt_roots]),
+            "roots_valid": jnp.concatenate([active[None], alt_valid]),
         }
 
-    sel = jax.vmap(select)(jnp.arange(2, n_class, dtype=jnp.int32), multiline[2:])
+    # split classes by the STATIC multiline set, vmap each group, then
+    # reassemble class-ordered [C2, ...] tables with static index lists
+    ml_ids = sorted(c for c in set(multiline_classes) if 2 <= c < n_class)
+    simple_ids = [c for c in range(2, n_class) if c not in ml_ids]
+
+    def assemble(shape_tail, dtype, simple_out, ml_out):
+        out = jnp.zeros((c2,) + shape_tail, dtype)
+        if simple_ids:
+            out = out.at[jnp.asarray([c - 2 for c in simple_ids])].set(simple_out)
+        if ml_ids:
+            out = out.at[jnp.asarray([c - 2 for c in ml_ids])].set(ml_out)
+        return out
+
+    simple_sel = (
+        jax.vmap(select_simple)(jnp.asarray(simple_ids, jnp.int32))
+        if simple_ids else None
+    )
+    ml_sel = (
+        jax.vmap(select_multiline)(jnp.asarray(ml_ids, jnp.int32))
+        if ml_ids else None
+    )
+    tails = {
+        "active": ((), bool),
+        "main_bbox": ((4,), jnp.int32),
+        "alt_bbox": ((k, 4), jnp.int32),
+        "alt_valid": ((k,), bool),
+        "roots": ((k + 1,), jnp.int32),
+        "roots_valid": ((k + 1,), bool),
+    }
+    sel = {
+        key: assemble(
+            tail, dtype,
+            simple_sel[key] if simple_sel is not None else None,
+            ml_sel[key] if ml_sel is not None else None,
+        )
+        for key, (tail, dtype) in tails.items()
+    }
 
     # slot table: root -> global slot ci*(K+1)+j; sentinel = C2*(K+1)
     n_slots = c2 * (k + 1)

@@ -166,6 +166,17 @@ class KVModel:
         return onehot, line_id, char_id, scaled, progs
 
     # ------------------------------------------------------------------
+    def _multiline_classes(self) -> Tuple[int, ...]:
+        """Static multiline class-id set for the jitted decoder (non-
+        multiline classes then skip alt-component top_k entirely)."""
+        return tuple(
+            sorted(
+                c for c in self.schema.multiple_lines_fields
+                if 2 <= c < self.n_class
+            )
+        )
+
+    # ------------------------------------------------------------------
     def predict(
         self, data, label_path: Optional[str] = None, eval_results=None
     ) -> Tuple[Dict[str, str], Dict]:
@@ -180,15 +191,11 @@ class KVModel:
         pred = self.forward(self.params, x[None])[0]
 
         num_lines = len(scaled_lines)
-        multiline = np.zeros((self.n_class,), bool)
-        for c in self.schema.multiple_lines_fields:
-            if c < self.n_class:
-                multiline[c] = True
         dev = decode_fields_device(
             pred,
             line_id,
             char_id,
-            jnp.asarray(multiline),
+            self._multiline_classes(),
             n_class=self.n_class,
             num_lines=round_up(max(num_lines, 1), 128),
             k=8,
@@ -244,11 +251,7 @@ class KVModel:
         for item in prepared:
             groups[item[1].shape].append(item)
 
-        multiline = np.zeros((self.n_class,), bool)
-        for c in self.schema.multiple_lines_fields:
-            if c < self.n_class:
-                multiline[c] = True
-        ml = jnp.asarray(multiline)
+        ml = self._multiline_classes()
 
         results: List = [None] * len(pages)
         for shape, items in groups.items():

@@ -77,13 +77,13 @@ def config_1(quick):
     params = model.init(jax.random.PRNGKey(0), x)
     line_id = jnp.asarray(rng.integers(0, 64, (hw, hw)), jnp.int32)
     char_id = jnp.asarray(rng.integers(0, 30, (hw, hw)), jnp.int32)
-    ml = jnp.zeros((17,), bool)
 
     @jax.jit
     def infer(params, x, line_id, char_id):
         probs, _, _ = model.apply(params, x)
         return decode_fields_device(
-            probs[0], line_id, char_id, ml, n_class=17, num_lines=128, k=8
+            probs[0], line_id, char_id, (5, 11), n_class=17, num_lines=128,
+            k=8,
         )
 
     out = infer(params, x, line_id, char_id)

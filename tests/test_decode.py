@@ -132,10 +132,9 @@ class TestDecodeParity:
         pred, line_mask, char_mask, lines = make_synthetic_case(rng)
         want = scipy_reference_decode(pred, line_mask, char_mask, lines, schema)
 
-        multiline = np.zeros(8, bool); multiline[5] = True
         dev = decode_fields_device(
             jnp.asarray(pred), jnp.asarray(line_mask), jnp.asarray(char_mask),
-            jnp.asarray(multiline), n_class=8, num_lines=128, k=8,
+            (5,), n_class=8, num_lines=128, k=8,
         )
         host = {k: np.asarray(v) for k, v in dev.items()}
         got = extract_values(host, lines, schema)
@@ -168,7 +167,7 @@ class TestDecodeParity:
         want = scipy_reference_decode(pred, line_mask, char_mask, lines, schema)
         dev = decode_fields_device(
             jnp.asarray(pred), jnp.asarray(line_mask), jnp.asarray(char_mask),
-            jnp.zeros(6, bool), n_class=6, num_lines=128, k=8,
+            (), n_class=6, num_lines=128, k=8,
         )
         got = extract_values({k: np.asarray(v) for k, v in dev.items()}, lines, schema)
         assert got[2].text == want[2][0]
@@ -209,7 +208,7 @@ class TestMultiComponentBoxes:
         schema = FieldSchema(**schema_kw)
         dev = decode_fields_device(
             jnp.asarray(pred), jnp.asarray(line_mask), jnp.asarray(char_mask),
-            jnp.asarray(np.arange(6) == 3), n_class=6, num_lines=128, k=8,
+            (3,), n_class=6, num_lines=128, k=8,
         )
         host = {k: np.asarray(v) for k, v in dev.items()}
         got = extract_values(host, lines, schema)
@@ -224,7 +223,7 @@ class TestMultiComponentBoxes:
         schema = FieldSchema(all_component_boxes=True, **schema_kw)
         dev = decode_fields_device(
             jnp.asarray(pred), jnp.asarray(line_mask), jnp.asarray(char_mask),
-            jnp.asarray(np.arange(6) == 3), n_class=6, num_lines=128, k=8,
+            (3,), n_class=6, num_lines=128, k=8,
         )
         host = {k: np.asarray(v) for k, v in dev.items()}
         got = extract_values(host, lines, schema)
