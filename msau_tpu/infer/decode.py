@@ -39,7 +39,7 @@ from msau_tpu.ops.ccl import (
     connected_components_jax,
     connected_components_multiclass,
 )
-from msau_tpu.ops.morphology import r_closing
+from msau_tpu.ops.morphology import packed_closing
 
 
 # ---------------------------------------------------------------------------
@@ -92,22 +92,49 @@ def decode_fields_device(
     cid_flat = char_id.reshape(-1)
     nl = num_lines + 1
 
-    # per-class closing (cheap reduce_windows), then one shared labeling
-    closed = jax.vmap(
-        lambda c: r_closing(pred_class == c, (1, 3))
-    )(jnp.arange(2, n_class, dtype=jnp.int32))              # [C2, H, W]
-    any_fg = jnp.any(closed, axis=0)
-    owner = jnp.argmax(closed, axis=0).astype(jnp.int32)    # first class wins
-    cls_map = jnp.where(any_fg, owner + 2, 0)
+    # bit-packed per-class closing: every class's (1, 3) closing rides one
+    # OR-window + one AND-window over an int32 bit plane (a 15-class vmap
+    # of r_closing cost ~6 ms at 512^2; this is 2 reduce_windows)
+    assert c2 <= 32, "packed closing supports up to 32 decodable classes"
+    bits = jnp.where(
+        pred_class >= 2,
+        jnp.left_shift(jnp.int32(1), jnp.maximum(pred_class - 2, 0)),
+        0,
+    ).astype(jnp.int32)
+    closed_bits = packed_closing(bits, (1, 3))
+    any_fg = closed_bits != 0
+    # lowest set bit = lowest class wins the 1-2 px overlap pixels (same
+    # tie policy as the previous argmax-first ownership)
+    lsb = closed_bits & -closed_bits
+    owner = jax.lax.population_count(lsb - jnp.int32(1))
+    cls_map = jnp.where(any_fg, owner + 2, 0).astype(jnp.int32)
     labels = connected_components_multiclass(cls_map, max_iters=max_iters)
-    stats = component_stats(labels)
-    count, area = stats["count"], stats["bbox_area"]
-    y1, x1, y2, x2 = stats["y1"], stats["x1"], stats["y2"], stats["x2"]
+
+    # slim per-root stats (VERDICT r3: component_stats' five segment
+    # reductions were the decode's largest stage).  A root IS its
+    # component's raster-first pixel, so:
+    #   * existence needs no count scatter: labels.flat[r-1] == r;
+    #   * y1 (min row) is free: (r-1) // W.
+    # Only y2/x1/x2 need segment reductions.
+    lbl_flat = labels.reshape(-1)
+    iota1 = jnp.arange(1, hw1, dtype=jnp.int32)
+    exists = jnp.concatenate(
+        [jnp.zeros((1,), bool), lbl_flat == iota1]
+    )                                                        # [HW+1]
+    y1 = jnp.where(
+        exists, (jnp.arange(hw1, dtype=jnp.int32) - 1) // w, 0
+    )
+    rows_flat = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+    cols_flat = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+    y2 = jax.ops.segment_max(rows_flat, lbl_flat, num_segments=hw1) + 1
+    x1 = jax.ops.segment_min(cols_flat, lbl_flat, num_segments=hw1)
+    x2 = jax.ops.segment_max(cols_flat, lbl_flat, num_segments=hw1) + 1
+    # find_objects slice convention: y2/x2 exclusive, area = bbox area
+    area = jnp.where(exists, (y2 - y1) * (x2 - x1), 0)
     # root r sits at linear index r-1, so its class is cls_map.flat[r-1]
     cls_of = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), cls_map.reshape(-1)]
     )                                                        # [HW+1]
-    exists = (count > 0) & (jnp.arange(hw1, dtype=jnp.int32) > 0)
 
     def select_common(c, main):
         in_c = exists & (cls_of == c)
@@ -208,33 +235,33 @@ def decode_fields_device(
     )
     slot_of_root = slot_of_root.at[0].set(n_slots)
 
-    lbl_flat = labels.reshape(-1)
     slot_pix = slot_of_root[lbl_flat]                 # [HW]
     chosen_flat = slot_pix < n_slots
     class_ix = slot_pix // (k + 1)                    # class index (0-based)
 
-    # (class, line) reductions — one composite segment op each
-    seg_cl = jnp.where(chosen_flat, class_ix * nl + lid_flat, c2 * nl)
-    overlap_cnt = jax.ops.segment_sum(
-        jnp.ones_like(seg_cl), seg_cl, num_segments=c2 * nl + 1
-    )[: c2 * nl].reshape(c2, nl)
-    line_overlap = (overlap_cnt > 0).at[:, 0].set(False)
-
-    # distinct chosen components per line via (slot, line) buckets
+    # (slot, line) reductions — the class-level tables then come from
+    # cheap [C2, K+1, L+1] table math instead of separate class-keyed
+    # segment ops (one fewer 262k-update scatter at 512^2)
     seg_slot = jnp.where(chosen_flat, slot_pix * nl + lid_flat, n_slots * nl)
+    nseg = n_slots * nl + 1
     bucket = jax.ops.segment_sum(
-        jnp.ones_like(seg_slot), seg_slot, num_segments=n_slots * nl + 1
+        jnp.ones_like(seg_slot), seg_slot, num_segments=nseg
     )[: n_slots * nl].reshape(c2, k + 1, nl)
-    comp_per_line = jnp.sum(bucket > 0, axis=1).at[:, 0].set(0)
+    present = bucket > 0
+    # distinct chosen components per line; any-overlap per (class, line)
+    comp_per_line = jnp.sum(present, axis=1).at[:, 0].set(0)
+    line_overlap = jnp.any(present, axis=1).at[:, 0].set(False)
 
     cid_min_src = jnp.where(chosen_flat & (cid_flat > 0), cid_flat, INF)
-    char_min = jax.ops.segment_min(
-        cid_min_src, seg_cl, num_segments=c2 * nl + 1
-    )[: c2 * nl].reshape(c2, nl)
+    cmin_slot = jax.ops.segment_min(
+        cid_min_src, seg_slot, num_segments=nseg
+    )[: n_slots * nl].reshape(c2, k + 1, nl)
+    char_min = jnp.min(cmin_slot, axis=1)
     char_min = jnp.where(char_min == INF, 0, char_min).at[:, 0].set(0)
-    char_max = jax.ops.segment_max(
-        jnp.where(chosen_flat, cid_flat, 0), seg_cl, num_segments=c2 * nl + 1
-    )[: c2 * nl].reshape(c2, nl).at[:, 0].set(0)
+    cmax_slot = jax.ops.segment_max(
+        jnp.where(chosen_flat, cid_flat, 0), seg_slot, num_segments=nseg
+    )[: n_slots * nl].reshape(c2, k + 1, nl)
+    char_max = jnp.max(cmax_slot, axis=1).at[:, 0].set(0)
 
     chosen_class = jnp.where(
         chosen_flat, class_ix + 2, 0
@@ -255,6 +282,54 @@ def decode_fields_device(
         "char_max": pad_front(char_max),
         "chosen_class": chosen_class,
     }
+
+
+# ---------------------------------------------------------------------------
+# Packing: one device->host transfer for all decode tables
+# ---------------------------------------------------------------------------
+# On the axon-tunneled backend each device->host fetch pays a round trip
+# (~tens of ms); fetching the 8 small decode tables separately dominated
+# the serve p50.  Pack them into one int32 vector on device, unpack on host.
+_PACK_KEYS = (
+    "active", "main_bbox", "alt_bbox", "alt_valid",
+    "line_overlap", "comp_per_line", "char_min", "char_max",
+)
+
+
+def _pack_shapes(n_class: int, k: int, num_lines: int):
+    nl = num_lines + 1
+    return {
+        "active": (n_class,),
+        "main_bbox": (n_class, 4),
+        "alt_bbox": (n_class, k, 4),
+        "alt_valid": (n_class, k),
+        "line_overlap": (n_class, nl),
+        "comp_per_line": (n_class, nl),
+        "char_min": (n_class, nl),
+        "char_max": (n_class, nl),
+    }
+
+
+def pack_decode_out(dev: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Flatten the host-bound decode tables into one int32 vector."""
+    return jnp.concatenate(
+        [dev[key].astype(jnp.int32).reshape(-1) for key in _PACK_KEYS]
+    )
+
+
+def unpack_decode_out(
+    vec: np.ndarray, n_class: int, k: int, num_lines: int
+) -> Dict[str, np.ndarray]:
+    shapes = _pack_shapes(n_class, k, num_lines)
+    out: Dict[str, np.ndarray] = {}
+    pos = 0
+    for key in _PACK_KEYS:
+        shape = shapes[key]
+        size = int(np.prod(shape))
+        out[key] = np.asarray(vec[pos : pos + size]).reshape(shape)
+        pos += size
+    assert pos == vec.size, (pos, vec.size)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@ Charset convention at inference: file contents prefixed with ' ' and '$'
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -32,7 +33,13 @@ from msau_tpu.data.rasterize import (
     pad_to_bucket,
     round_up,
 )
-from msau_tpu.infer.decode import decode_fields_device, extract_values, FieldValue
+from msau_tpu.infer.decode import (
+    FieldValue,
+    decode_fields_device,
+    extract_values,
+    pack_decode_out,
+    unpack_decode_out,
+)
 from msau_tpu.infer.schema import FieldSchema, post_process_kv
 from msau_tpu.models.msau import build_model
 
@@ -57,6 +64,8 @@ class KVModel:
         self.n_class = self.cfg.n_class
         self._apply = None        # jitted probs-forward, built once per model
         self._apply_model = None
+        self._serve = None        # jitted paint+forward+decode serve program
+        self._serve_model = None
 
     # ------------------------------------------------------------------
     def load(
@@ -105,6 +114,7 @@ class KVModel:
             )
         self.model = build_model(self.model_config)
         self._apply = None
+        self._serve = None
         if params is not None:
             self.params = params
         elif model_weight is not None:
@@ -135,9 +145,9 @@ class KVModel:
         return self._apply(params, x)
 
     # ------------------------------------------------------------------
-    def rasterize(self, page: Page, buckets: Sequence[int] = (256, 512, 1024)):
-        """KV-variant chargrid: digits normalized, box-filled line ids,
-        char-position plane (kv_model.py:83-148)."""
+    def _prepare_host(self, page: Page, buckets: Sequence[int] = (256, 512, 1024)):
+        """Host half of rasterization: box programs + padded paint inputs.
+        Returns (progs, scaled_lines, paint_arrays, hb, wb)."""
         assert self.charset is not None
         progs = build_chargrid_programs(
             page,
@@ -155,15 +165,63 @@ class KVModel:
         lcap = round_up(max(len(progs.line_id.values), 1), 512)
         lid = progs.line_id.padded(lcap)
         cid = progs.char_id.padded(lcap)
-        ids = paint_boxes(jnp.asarray(char.boxes), jnp.asarray(char.values), hb, wb)
-        line_id = paint_boxes(jnp.asarray(lid.boxes), jnp.asarray(lid.values), hb, wb)
-        char_id = paint_boxes(jnp.asarray(cid.boxes), jnp.asarray(cid.values), hb, wb)
-        onehot = jax.nn.one_hot(ids, self.charset.n_token, dtype=jnp.float32)
+        arrays = (
+            char.boxes, char.values, lid.boxes, lid.values,
+            cid.boxes, cid.values,
+        )
         # re-index scaled lines 1-based for decode bookkeeping
         scaled = [
             dataclasses.replace(l, id=i + 1) for i, l in enumerate(progs.scaled_lines)
         ]
+        return progs, scaled, arrays, hb, wb
+
+    def rasterize(self, page: Page, buckets: Sequence[int] = (256, 512, 1024)):
+        """KV-variant chargrid: digits normalized, box-filled line ids,
+        char-position plane (kv_model.py:83-148)."""
+        progs, scaled, arrays, hb, wb = self._prepare_host(page, buckets)
+        cb, cv, lb, lv, db, dv = (jnp.asarray(a) for a in arrays)
+        ids = paint_boxes(cb, cv, hb, wb)
+        line_id = paint_boxes(lb, lv, hb, wb)
+        char_id = paint_boxes(db, dv, hb, wb)
+        onehot = jax.nn.one_hot(ids, self.charset.n_token, dtype=jnp.float32)
         return onehot, line_id, char_id, scaled, progs
+
+    # ------------------------------------------------------------------
+    def _serve_fn(self):
+        """One jitted device program for the whole serve path:
+        paint -> one-hot -> forward -> KV decode -> packed tables.
+
+        A single dispatch + a single small device->host fetch — the
+        previous predict() issued ~5 dispatches and 8 table fetches, and
+        on the tunneled backend each fetch pays a round trip (~150 ms of
+        the measured 312 ms p50 was transfer latency, not compute)."""
+        if self._serve is None or self._serve_model is not self.model:
+            model = self.model
+            n_token = self.charset.n_token
+            n_class = self.n_class
+            mlc = self._multiline_classes()
+            min_area = self.cfg.min_component_area
+            max_iters = self.cfg.max_ccl_iters
+
+            @functools.partial(
+                jax.jit, static_argnames=("hb", "wb", "num_lines")
+            )
+            def fn(params, cb, cv, lb, lv, db, dv, *, hb, wb, num_lines):
+                ids = paint_boxes(cb, cv, hb, wb)
+                line_id = paint_boxes(lb, lv, hb, wb)
+                char_id = paint_boxes(db, dv, hb, wb)
+                x = jax.nn.one_hot(ids, n_token, dtype=jnp.float32)
+                probs, _, _ = model.apply(params, x[None])
+                dev = decode_fields_device(
+                    probs[0], line_id, char_id, mlc,
+                    n_class=n_class, num_lines=num_lines, k=8,
+                    min_area=min_area, max_iters=max_iters,
+                )
+                return pack_decode_out(dev), probs[0], dev["chosen_class"]
+
+            self._serve = fn
+            self._serve_model = model
+        return self._serve
 
     # ------------------------------------------------------------------
     def _multiline_classes(self) -> Tuple[int, ...]:
@@ -184,25 +242,17 @@ class KVModel:
         if isinstance(data, tuple):
             data = data[0]
         page = data if isinstance(data, Page) else load_label_json_page(data)
-        x, line_id, char_id, scaled_lines, progs = self.rasterize(page)
+        progs, scaled_lines, arrays, hb, wb = self._prepare_host(page)
+        num_lines = round_up(max(len(scaled_lines), 1), 128)
 
-        # final-activation output, matching the reference predict which
-        # decodes predictor(logits) (kv_model.py:305-309)
-        pred = self.forward(self.params, x[None])[0]
-
-        num_lines = len(scaled_lines)
-        dev = decode_fields_device(
-            pred,
-            line_id,
-            char_id,
-            self._multiline_classes(),
-            n_class=self.n_class,
-            num_lines=round_up(max(num_lines, 1), 128),
-            k=8,
-            min_area=self.cfg.min_component_area,
-            max_iters=self.cfg.max_ccl_iters,
+        # one fused device program (paint -> forward -> decode; the final
+        # activation is decoded, matching reference predict kv_model.py:305)
+        # and ONE packed device->host fetch
+        packed, pred, chosen = self._serve_fn()(
+            self.params, *(jnp.asarray(a) for a in arrays),
+            hb=hb, wb=wb, num_lines=num_lines,
         )
-        host = {k: np.asarray(v) for k, v in dev.items() if k != "chosen_class"}
+        host = unpack_decode_out(np.asarray(packed), self.n_class, 8, num_lines)
         values = extract_values(host, scaled_lines, self.schema)
         kv_results = post_process_kv(values, self.schema)
 
@@ -210,7 +260,7 @@ class KVModel:
             "values": values,
             "pred": pred,
             # [H, W] class id of selected pixels (new_pred_mask equivalent)
-            "chosen_class": dev["chosen_class"],
+            "chosen_class": chosen,
             "programs": progs,
             "scaled_lines": scaled_lines,
         }
@@ -257,16 +307,22 @@ class KVModel:
         for shape, items in groups.items():
             xb = jnp.stack([it[1] for it in items])
             preds = self.forward(self.params, xb)
+            # dispatch every page's decode before fetching anything, then
+            # fetch one packed vector per page (single round trip each)
+            packed = []
             for (i, _, line_id, char_id, scaled), pred in zip(items, preds):
+                nl = round_up(max(len(scaled), 1), 128)
                 dev = decode_fields_device(
                     pred, line_id, char_id, ml,
                     n_class=self.n_class,
-                    num_lines=round_up(max(len(scaled), 1), 128),
+                    num_lines=nl,
                     k=8,
                     min_area=self.cfg.min_component_area,
                     max_iters=self.cfg.max_ccl_iters,
                 )
-                host = {k: np.asarray(v) for k, v in dev.items() if k != "chosen_class"}
+                packed.append((i, scaled, nl, pack_decode_out(dev)))
+            for i, scaled, nl, vec in packed:
+                host = unpack_decode_out(np.asarray(vec), self.n_class, 8, nl)
                 values = extract_values(host, scaled, self.schema)
                 results[i] = (post_process_kv(values, self.schema), values)
         return results

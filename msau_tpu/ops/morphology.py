@@ -80,6 +80,24 @@ def r_closing(image: jnp.ndarray, size: Size2) -> jnp.ndarray:
     return r_erosion(r_dilation(image, size), size)
 
 
+def packed_closing(masks_bits: jnp.ndarray, size: Size2) -> jnp.ndarray:
+    """Closing of up to 32 boolean masks packed as int32 bit planes, in TWO
+    reduce_windows total (vs 2 per mask): dilation = windowed bitwise OR
+    with 0 borders, erosion = windowed bitwise AND with 0 borders — exactly
+    ``r_closing``'s scipy cval=0 semantics, applied to every bit at once.
+    The KV decoder packs its per-class masks this way (a 15-class vmap of
+    r_closing cost ~6 ms at 512²; this is 2 windows)."""
+    size = _normalize_size(size)
+    assert masks_bits.dtype == jnp.int32, masks_bits.dtype
+    dilated = _window_reduce(
+        masks_bits, size, jnp.asarray(0, jnp.int32), lax.bitwise_or
+    )
+    # cval=0 padding erodes borders per bit, matching r_erosion
+    return _window_reduce(
+        dilated, size, jnp.asarray(-1, jnp.int32), lax.bitwise_and
+    )
+
+
 # ---------------------------------------------------------------------------
 # skeletonization + map upscaling (inference/morph_util.py:217-241)
 # ---------------------------------------------------------------------------

@@ -70,3 +70,19 @@ class TestSkeleton:
         assert out.shape == (40, 40)
         assert out[20, 20]
         assert not out[0, 0]
+
+
+def test_packed_closing_matches_per_class(rng):
+    """Bit-packed multi-mask closing == per-mask r_closing (the decoder's
+    15-class closing rides 2 reduce_windows instead of 30)."""
+    import jax.numpy as jnp
+
+    from msau_tpu.ops.morphology import packed_closing, r_closing
+
+    cls = rng.integers(0, 6, (40, 56)).astype(np.int32)
+    bits = np.where(cls >= 2, np.left_shift(1, np.maximum(cls - 2, 0)), 0)
+    packed = np.asarray(packed_closing(jnp.asarray(bits, jnp.int32), (1, 3)))
+    for c in range(2, 6):
+        want = np.asarray(r_closing(jnp.asarray(cls == c), (1, 3)))
+        got = (packed >> (c - 2)) & 1
+        np.testing.assert_array_equal(got.astype(bool), want, err_msg=f"class {c}")
