@@ -39,7 +39,11 @@ from msau_tpu.models.layers import tf_bias_init
 Dtype = Any
 
 # Token-count threshold above which the Pallas blockwise kernel is used.
-_PALLAS_MIN_TOKENS = 4096
+# Measured on-chip (v5e, bs=16 flagship): at T=4096 the plain einsum beats
+# the reduction-grid kernel in-step (254.5 vs 276.4 ms full train step) and
+# its T x T buffers still fit; the blockwise kernel is for the T >= 16k
+# grids (1024^2 configs) where einsum's T^2 buffers OOM.
+_PALLAS_MIN_TOKENS = 8192
 
 
 def add_timing_signal_2d(

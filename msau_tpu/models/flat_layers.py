@@ -101,5 +101,6 @@ class FlatConvOp(nn.Module):
         bias = self.param("bias", tf_bias_init(), (self.features,))
         dtype = self.dtype or x_body.dtype
         return flat_conv2d(
-            x_body.astype(dtype), kernel, bias, geom, dilation=self.dilation
+            x_body.astype(dtype), kernel, bias, geom, dilation=self.dilation,
+            mask_cotangent=False,  # model pipeline preserves the invariant
         )

@@ -269,7 +269,8 @@ class DeconvBnLrnDrop(nn.Module):
             assert (geom_out.H, geom_out.W) == (th, tw)
             dtype = self.dtype or x.dtype
             up = body_upsample2(x.astype(dtype), geom_in, geom_out)
-            y = flat_conv2d(up, kernel, bias, geom_out)
+            y = flat_conv2d(up, kernel, bias, geom_out,
+                            mask_cotangent=False)
             act = get_activation(self.activation)
             if act is not None:
                 y = act(y)
@@ -364,7 +365,8 @@ class MultiConvResidualBlock(nn.Module):
                 (w1, b1), (w2, b2) = holders
                 dtype = self.dtype or x.dtype
                 return flat_res_block(
-                    x.astype(dtype), w1, b1, w2, b2, geom, self.activation
+                    x.astype(dtype), w1, b1, w2, b2, geom, self.activation,
+                    False,  # model pipeline preserves the body invariant
                 )
         orig = x
         y = jax.nn.relu(x)

@@ -486,6 +486,14 @@ class MSAUNet(nn.Module):
             if block_id == cfg.num_blocks - 2:
                 logits_aux = out
         if fs:
+            if logits_layout == "BODY":
+                # raw body-flat [N, C, LB] logits in compute dtype: the
+                # loss converts labels/valid to body columns instead (one
+                # cheap int pad) — the logits from_body reshape and its
+                # backward transpose were ~6 ms/step at the flagship shape
+                if logits_aux is None:
+                    logits_aux = out
+                return out, logits_aux
             if logits_layout == "NCHW":
                 # compact [N, C, H, W] — no lane-padded transpose; the
                 # channel_axis-aware loss consumes this directly
@@ -502,6 +510,10 @@ class MSAUNet(nn.Module):
             out = jnp.transpose(out, (0, 3, 1, 2))
             if logits_aux is not None:
                 logits_aux = jnp.transpose(logits_aux, (0, 3, 1, 2))
+        elif logits_layout == "BODY":
+            # NHWC fallback (no feasible flat geometry): keep NHWC logits;
+            # the caller detects the rank-4 output and uses plain labels
+            pass
         logits = out.astype(jnp.float32)
         if logits_aux is None:
             logits_aux = logits
@@ -537,7 +549,10 @@ class MSAUWrapper(nn.Module):
             if logits_layout == "NCHW":
                 logits = jnp.transpose(logits, (0, 3, 1, 2))
                 aux_logits = jnp.transpose(aux_logits, (0, 3, 1, 2))
-        caxis = 1 if logits_layout == "NCHW" else -1
+        # BODY logits are [N, C, LB] (falling back to NHWC rank-4 when no
+        # flat geometry exists) — channel axis is 1 in either compact form
+        caxis = 1 if (logits_layout == "NCHW"
+                      or (logits_layout == "BODY" and logits.ndim == 3)) else -1
         final_act = self.config.final_act
         if final_act == "softmax":
             probs = jax.nn.softmax(logits, axis=caxis)

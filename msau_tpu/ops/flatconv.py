@@ -386,10 +386,11 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
 )
 def _flat_conv_prim(xb, w, b, geom: FlatGeom, kh: int, kw: int,
-                    dilation: int, pt: int, pleft: int, out_dtype_name: str):
+                    dilation: int, pt: int, pleft: int, out_dtype_name: str,
+                    mask_cotangent: bool = True):
     dims = _ConvDims(kh, kw, dilation, pt, pleft)
     cout = w.shape[-1]
     out_dtype = jnp.dtype(out_dtype_name)
@@ -400,22 +401,28 @@ def _flat_conv_prim(xb, w, b, geom: FlatGeom, kh: int, kw: int,
 
 
 def _flat_conv_fwd(xb, w, b, geom, kh, kw, dilation, pt, pleft,
-                   out_dtype_name):
+                   out_dtype_name, mask_cotangent=True):
     y = _flat_conv_prim(xb, w, b, geom, kh, kw, dilation, pt, pleft,
-                        out_dtype_name)
+                        out_dtype_name, mask_cotangent)
     return y, (xb, w)
 
 
 def _flat_conv_bwd(geom, kh, kw, dilation, pt, pleft, out_dtype_name,
-                   res, g):
+                   mask_cotangent, res, g):
     xb, w = res
     dims = _ConvDims(kh, kw, dilation, pt, pleft)
     cin, cout = w.shape[2], w.shape[3]
     interp = _use_interpret()
     # In the model pipeline g's guards/pads are already zero (every producer
-    # in the body algebra preserves them); re-zero defensively so the VJP is
-    # correct for arbitrary cotangents too.
-    g = body_mask(g, geom).astype(xb.dtype)
+    # in the body algebra preserves them: body convs/pools/upsamples write
+    # zero guards, elementwise ops map 0 -> 0, and the loss boundary's
+    # from_body transpose pads with zeros), so the model wiring passes
+    # mask_cotangent=False and skips this re-zeroing — its from_body +
+    # to_body round trip was ~30 pad/slice/reshape instances per train
+    # step.  The default stays defensive for arbitrary callers.
+    if mask_cotangent:
+        g = body_mask(g, geom)
+    g = g.astype(xb.dtype)
     # dx: transposed conv of the cotangent
     dims_t = _ConvDims(kh, kw, dilation,
                        (kh - 1) * dilation - pt,
@@ -443,6 +450,7 @@ def flat_conv2d(
     dilation: int = 1,
     padding: str = "SAME",
     out_dtype=None,
+    mask_cotangent: bool = True,
 ) -> jnp.ndarray:
     """Stride-1 2-D conv on a body-flat tensor.
 
@@ -450,6 +458,9 @@ def flat_conv2d(
     b: [Cout] or None.  Returns body-flat [N, Cout, LB] with zero pads and
     guards.  ``padding='SAME'`` reproduces TF/XLA SAME for stride 1 (even
     kernels pad more on the bottom/right, reference model/layers/utils.py).
+    ``mask_cotangent=False`` skips the defensive guard re-zeroing in the
+    VJP — only safe when every downstream consumer preserves the body
+    invariant (the model wiring does; see _flat_conv_bwd).
     """
     kh, kw, cin, cout = w.shape
     assert x_body.shape[1] == cin, (x_body.shape, w.shape)
@@ -462,7 +473,7 @@ def flat_conv2d(
         b = jnp.zeros((cout,), jnp.float32)
     out_dtype_name = jnp.dtype(out_dtype or x_body.dtype).name
     return _flat_conv_prim(x_body, w, b, geom, kh, kw, dilation, int(pt),
-                           int(pleft), out_dtype_name)
+                           int(pleft), out_dtype_name, bool(mask_cotangent))
 
 
 def flat_conv2d_reference(x_body, w, b, geom: FlatGeom, *, dilation=1,

@@ -356,11 +356,15 @@ def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
     return scratch <= vmem_budget
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def flat_res_block(x, w1, b1, w2, b2, geom: FlatGeom, activation: str):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def flat_res_block(x, w1, b1, w2, b2, geom: FlatGeom, activation: str,
+                   mask_cotangent: bool = True):
     """Fused residual block on a body-flat tensor (see module docstring).
 
     x: [N, C, LB]; w1, w2: [3, 3, C, C]; b1, b2: [C].
+    ``mask_cotangent=False`` skips the defensive guard re-zeroing of the
+    incoming cotangent (safe inside the model's body algebra — see
+    flatconv._flat_conv_bwd for the invariant argument).
     """
     return _fused_fwd_call(x, w1, b1, w2, b2, geom, activation)
 
@@ -411,19 +415,22 @@ def _fused_fwd_call(x, w1, b1, w2, b2, geom, activation):
       _row_idx(wp, t + 2))
 
 
-def _fused_vjp_fwd(x, w1, b1, w2, b2, geom, activation):
+def _fused_vjp_fwd(x, w1, b1, w2, b2, geom, activation,
+                   mask_cotangent=True):
     y = _fused_fwd_call(x, w1, b1, w2, b2, geom, activation)
     return y, (x, w1, b1, w2, b2)
 
 
-def _fused_vjp_bwd(geom, activation, res, g):
+def _fused_vjp_bwd(geom, activation, mask_cotangent, res, g):
     x, w1, b1, w2, b2 = res
     n, c, lb = x.shape
     plan = _FusedPlan(geom, c, x.dtype.itemsize, halo=4)
     wp, t = geom.Wp, plan.tile
     r = 9 * c
     interp = _use_interpret()
-    g = body_mask(g, geom).astype(x.dtype)
+    if mask_cotangent:
+        g = body_mask(g, geom)
+    g = g.astype(x.dtype)
     kernel = functools.partial(
         _bwd_kernel, plan=plan, act_name=activation,
         precision=_dot_precision(x.dtype),

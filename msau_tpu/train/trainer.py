@@ -64,27 +64,52 @@ def make_train_step(
     batch: {"input": [N,H,W,C] f32, "label": [N,H,W] i32, "valid": [N,H,W] bool}
     """
 
-    # with the flat shallow-scale layout, keep the loss on compact
-    # [N, C, H, W] logits — the NHWC transpose would re-pay the 128-lane
-    # padding this layout exists to avoid (ops/flatconv.py)
-    nchw = getattr(model.config, "flat_scales", 0) > 0
-    layout = "NCHW" if nchw else "NHWC"
-    caxis = 1 if nchw else -1
+    # with the flat shallow-scale layout, keep the loss in the body form
+    # itself: the model returns raw [N, C, LB] logits and the LABELS are
+    # converted to body columns instead (one cheap int pad) — both the
+    # NHWC transpose and the from_body reshape would re-pay lane padding
+    # and data movement the layout exists to avoid (ops/flatconv.py)
+    flat = getattr(model.config, "flat_scales", 0) > 0
+    layout = "BODY" if flat else "NHWC"
 
     def loss_fn(params, batch):
         _, logits, aux_logits = model.apply(
             params, batch["input"], train=True, logits_layout=layout
         )
+        labels = batch["label"]
+        valid = batch.get("valid")
+        if logits.ndim == 3:
+            # body-flat logits: move labels/valid into body columns; pads
+            # and guards become label 0 / valid False, exactly the
+            # masked-out set (shapes are static at trace time)
+            from msau_tpu.models.flat_layers import make_scale_geoms
+            from msau_tpu.ops.flatconv import to_body
+
+            cfg = model.config
+            n, h, w, _ = batch["input"].shape
+            itemsize = 2 if cfg.dtype == "bfloat16" else 4
+            geom0 = make_scale_geoms(
+                h, w, cfg.flat_scales + 1, itemsize, cfg.pool_size,
+                feat_root=cfg.feat_root, n_class=cfg.n_class,
+            )[0]
+            labels = to_body(labels[:, None], geom0)[:, 0]
+            if valid is None:
+                valid = jnp.ones((n, h, w), bool)
+            valid = to_body(valid[:, None], geom0)[:, 0]
+            caxis = 1
+        else:
+            # NHWC logits (plain model, or BODY's no-flat-geometry fallback)
+            caxis = -1
         if masked:
             return masked_cross_entropy(
-                logits, aux_logits, batch["label"], batch.get("valid"),
+                logits, aux_logits, labels, valid,
                 channel_axis=caxis,
             )
         return unet_loss(
             logits,
-            batch["label"],
+            labels,
             aux_logits=aux_logits,
-            valid=batch.get("valid"),
+            valid=valid,
             aux_weight=aux_weight,
             channel_axis=caxis,
         )

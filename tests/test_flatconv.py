@@ -282,3 +282,44 @@ def test_geometry_respects_dtype_vmem_budget():
                 itemsize, s, g)
     # the tuned bf16 flagship geometry must stay put
     assert make_scale_geoms(512, 512, 2, 2)[0] == (512, 512, 2, 32)
+
+
+def test_body_loss_boundary_matches_nhwc():
+    """Train-step loss/grads with BODY logits + body labels == the NHWC
+    path (round-3: the loss consumes raw [N, C, LB] logits; labels move
+    into body columns instead of logits moving out)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msau_tpu.config import ModelConfig, TrainConfig
+    from msau_tpu.models.msau import build_model
+    from msau_tpu.train.optimizer import make_optimizer
+    from msau_tpu.train.trainer import TrainState, make_train_step
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "input": jnp.asarray(rng.random((2, 32, 32, 6)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 4, (2, 32, 32)), jnp.int32),
+        "valid": jnp.asarray(rng.random((2, 32, 32)) > 0.1),
+    }
+    tcfg = TrainConfig(optimizer="momentum", learning_rate=1e-2,
+                       lr_decay_staircase=False, donate_state=False,
+                       matmul_precision="")
+    losses = {}
+    states = {}
+    for fs in (0, 1):
+        cfg = ModelConfig(img_channels=6, n_class=4, scale_space_num=2,
+                          res_depth=1, feat_root=4, num_blocks=1,
+                          flat_scales=fs)
+        model = build_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), batch["input"][:1])
+        opt = make_optimizer(tcfg)
+        state = TrainState.create(params, opt)
+        step = make_train_step(model, opt, masked=True, donate=False)
+        states[fs], m = step(state, batch)
+        losses[fs] = float(m["loss"])
+        assert np.isfinite(losses[fs])
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(states[0].params),
+                    jax.tree_util.tree_leaves(states[1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
