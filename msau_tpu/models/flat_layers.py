@@ -43,7 +43,19 @@ def make_scale_geoms(h: int, w: int, n_scales: int, itemsize: int = 2,
         cin = 2 * feat_root * pool ** s
         if s == 0:
             cin = max(cin, n_class)
-        geoms.append(choose_geom(h, w, itemsize=itemsize, max_cin=cin))
+        # deeper scales feed the x2 upsample kernel, whose half-tile input
+        # windows need Wp_in % 8 == 0 for 128-aligned offsets; fall back
+        # to the unconstrained geometry when that costs feasibility
+        geom = None
+        if s > 0:
+            try:
+                geom = choose_geom(h, w, itemsize=itemsize, max_cin=cin,
+                                   wp_mod=8)
+            except ValueError:
+                geom = None
+        if geom is None:
+            geom = choose_geom(h, w, itemsize=itemsize, max_cin=cin)
+        geoms.append(geom)
         h = -(-h // pool)
         w = -(-w // pool)
     return geoms

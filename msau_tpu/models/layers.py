@@ -263,12 +263,22 @@ class DeconvBnLrnDrop(nn.Module):
             # plain SAME conv — for odd k and p=(k-1)/2 the trailing zero
             # rows/cols of the canvas reproduce exactly the output_padding
             # semantics of the torch ConvTranspose2d emulation below.
-            from msau_tpu.ops.flatconv import body_lrn, body_upsample2, flat_conv2d
+            from msau_tpu.ops.flatconv import (
+                _upsample_tiles,
+                body_lrn,
+                body_upsample2,
+                flat_conv2d,
+                flat_upsample2,
+            )
 
             assert kh % 2 == 1 and kw % 2 == 1 and s == 2
             assert (geom_out.H, geom_out.W) == (th, tw)
             dtype = self.dtype or x.dtype
-            up = body_upsample2(x.astype(dtype), geom_in, geom_out)
+            if _upsample_tiles(geom_in, geom_out) is not None:
+                # one Pallas kernel, no NCHW round trip (see flat_upsample2)
+                up = flat_upsample2(x.astype(dtype), geom_in, geom_out)
+            else:
+                up = body_upsample2(x.astype(dtype), geom_in, geom_out)
             y = flat_conv2d(up, kernel, bias, geom_out,
                             mask_cotangent=False)
             act = get_activation(self.activation)

@@ -59,6 +59,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -96,7 +97,7 @@ VMEM_XS_BUDGET = 6 * 2**20  # per-conv tap-stack scratch target
 
 def choose_geom(h: int, w: int, *, min_p: int = DEFAULT_P,
                 tile_cap: int = 32, itemsize: int = 2,
-                max_cin: int = 17) -> FlatGeom:
+                max_cin: int = 17, wp_mod: int = 1) -> FlatGeom:
     """Pick (P, tile_h): smallest feasible halo, largest aligned tile.
 
     tile_h only sets the guard-block size and the per-conv tile ceiling;
@@ -115,6 +116,11 @@ def choose_geom(h: int, w: int, *, min_p: int = DEFAULT_P,
     r_max = 9 * max_cin
     for p in range(min_p, min_p + 129):
         wp = w + 2 * p
+        if wp % wp_mod:
+            # wp_mod=8 aligns Wp so the flat upsample kernel's half-tile
+            # input windows land on 128-element boundaries
+            # ((t_out/2) * Wp_in % 128 == 0; see flat_upsample2)
+            continue
         valid = [t for t in range(1, h + 1)
                  if h % t == 0 and (t * wp) % 128 == 0]
         if not valid:
@@ -519,6 +525,167 @@ def body_upsample2(x_body: jnp.ndarray, geom_in: FlatGeom,
         ((0, 0, 0), (0, 0, 0), (0, 1, 1), (0, 1, 1)),
     )
     return to_body(up[:, :, :ho, :wo], geom_out)
+
+
+def _upsample_tiles(geom_in: FlatGeom, geom_out: FlatGeom):
+    """Feasible (t_out, t_in) block tiles for flat_upsample2, or None.
+
+    Constraints: exact x2 geometry; fwd grid over geom_out blocks needs
+    (t_out/2) * Wp_in aligned input windows; bwd grid over geom_in blocks
+    needs 2 * t_in * Wp_out aligned cotangent windows.
+    """
+    if geom_out.H != 2 * geom_in.H or geom_out.W != 2 * geom_in.W:
+        return None
+    t_out = [t for t in range(2, geom_out.tile_h + 1, 2)
+             if geom_out.tile_h % t == 0 and (t * geom_out.Wp) % 128 == 0
+             and ((t // 2) * geom_in.Wp) % 128 == 0]
+    t_in = [t for t in range(1, geom_in.tile_h + 1)
+            if geom_in.tile_h % t == 0 and (t * geom_in.Wp) % 128 == 0
+            and (2 * t * geom_out.Wp) % 128 == 0]
+    if not t_out or not t_in:
+        return None
+    return max(t_out), max(t_in)
+
+
+def _insert_matrix(geom_in: FlatGeom, geom_out: FlatGeom, dtype) -> jnp.ndarray:
+    """[Wp_in, Wp_out] zero-insert matrix: row @ M dilates columns 2x.
+
+    Mosaic has no lane interleave, but a banded 0/1 matmul on the MXU does
+    the same job (M[j, 2j] = 1 for real columns) — the box-conv trick.
+    """
+    j = np.arange(geom_in.Wp)[:, None]
+    q = np.arange(geom_out.Wp)[None, :]
+    m = (q == 2 * j) & (j < geom_in.W)
+    return jnp.asarray(m.astype(np.float32), dtype)
+
+
+def _ups_fwd_kernel(x_ref, m_ref, o_ref, *, t_out, wp_in, wp_out,
+                    g_blk, n_blk, precision):
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        zero_row = jnp.zeros_like(o_ref[:, :wp_out])
+        for m in range(t_out // 2):
+            row = x_ref[:, m * wp_in:(m + 1) * wp_in]
+            out = jax.lax.dot_general(
+                row, m_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            o_ref[:, 2 * m * wp_out:(2 * m + 1) * wp_out] = out.astype(
+                o_ref.dtype)
+            o_ref[:, (2 * m + 1) * wp_out:(2 * m + 2) * wp_out] = zero_row
+
+
+def _ups_bwd_kernel(g_ref, m_ref, o_ref, *, t_in, wp_in, wp_out,
+                    g_blk, n_blk, precision):
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        for m in range(t_in):
+            grow = g_ref[:, 2 * m * wp_out:(2 * m + 1) * wp_out]
+            out = jax.lax.dot_general(
+                grow, m_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            o_ref[:, m * wp_in:(m + 1) * wp_in] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flat_upsample2(x_body: jnp.ndarray, geom_in: FlatGeom,
+                   geom_out: FlatGeom) -> jnp.ndarray:
+    """Zero-insertion x2 upsample, body-flat -> body-flat, in one Pallas
+    kernel (real pixel (2i, 2j) = x[i, j], all other pixels 0).
+
+    Replaces body_upsample2's from_body -> interior-pad -> to_body round
+    trip, whose NCHW relayouts + the backward's strided slices were the
+    single largest glue family in the flagship step profile (~3-5 ms per
+    instance x 6 deconvs).  Requires ``_upsample_tiles`` feasibility —
+    callers fall back to body_upsample2 otherwise.
+    """
+    tiles = _upsample_tiles(geom_in, geom_out)
+    assert tiles is not None, (geom_in, geom_out)
+    t_out, _ = tiles
+    n, c, lb = x_body.shape
+    assert lb == geom_in.LB, (x_body.shape, geom_in)
+    wp_in, wp_out = geom_in.Wp, geom_out.Wp
+    g_blk = geom_out.tile_h // t_out
+    n_blk = geom_out.H // t_out + 2 * g_blk
+    len_win = (t_out // 2) * wp_in
+    kernel = functools.partial(
+        _ups_fwd_kernel, t_out=t_out, wp_in=wp_in, wp_out=wp_out,
+        g_blk=g_blk, n_blk=n_blk, precision=_dot_precision(x_body.dtype),
+    )
+
+    def x_index(ni, bi):
+        s = (bi - g_blk) * len_win + geom_in.S
+        return (ni, 0, pl.multiple_of(jnp.clip(s, 0, geom_in.LB - len_win),
+                                      128))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n, n_blk),
+        in_specs=[
+            pl.BlockSpec((None, pl.Element(c), pl.Element(len_win)), x_index),
+            pl.BlockSpec((wp_in, wp_out), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, c, t_out * wp_out),
+                               lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, c, geom_out.LB), x_body.dtype),
+        interpret=_use_interpret(),
+    )(x_body, _insert_matrix(geom_in, geom_out, x_body.dtype))
+
+
+def _flat_upsample2_fwd(x_body, geom_in, geom_out):
+    return flat_upsample2(x_body, geom_in, geom_out), None
+
+
+def _flat_upsample2_bwd(geom_in, geom_out, _, g):
+    t_in = _upsample_tiles(geom_in, geom_out)[1]
+    n, c, _ = g.shape
+    wp_in, wp_out = geom_in.Wp, geom_out.Wp
+    g_blk = geom_in.tile_h // t_in
+    n_blk = geom_in.H // t_in + 2 * g_blk
+    len_win = 2 * t_in * wp_out
+    kernel = functools.partial(
+        _ups_bwd_kernel, t_in=t_in, wp_in=wp_in, wp_out=wp_out,
+        g_blk=g_blk, n_blk=n_blk, precision=_dot_precision(g.dtype),
+    )
+
+    def g_index(ni, bi):
+        s = (bi - g_blk) * len_win + geom_out.S
+        return (ni, 0, pl.multiple_of(jnp.clip(s, 0, geom_out.LB - len_win),
+                                      128))
+
+    # transpose insert matrix: dx row j sums g row 2j's column 2j entries
+    mt = jnp.transpose(_insert_matrix(geom_in, geom_out, g.dtype))
+    dx = pl.pallas_call(
+        kernel,
+        grid=(n, n_blk),
+        in_specs=[
+            pl.BlockSpec((None, pl.Element(c), pl.Element(len_win)), g_index),
+            pl.BlockSpec((wp_out, wp_in), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, c, t_in * wp_in),
+                               lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, c, geom_in.LB), g.dtype),
+        interpret=_use_interpret(),
+    )(g, mt)
+    return (dx,)
+
+
+flat_upsample2.defvjp(_flat_upsample2_fwd, _flat_upsample2_bwd)
 
 
 def _pool2_halves(x_body, geom_in):

@@ -323,3 +323,35 @@ def test_body_loss_boundary_matches_nhwc():
     for a, b in zip(jax.tree_util.tree_leaves(states[0].params),
                     jax.tree_util.tree_leaves(states[1].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_flat_upsample2_matches_body_upsample2():
+    """The Pallas zero-insert kernel == the XLA round-trip upsample
+    (forward and VJP), at a geometry satisfying its alignment rules."""
+    import jax
+    import jax.numpy as jnp
+
+    from msau_tpu.ops.flatconv import (
+        _upsample_tiles,
+        body_upsample2,
+        flat_upsample2,
+        to_body,
+    )
+    from msau_tpu.models.flat_layers import make_scale_geoms
+
+    rng = np.random.default_rng(7)
+    geoms = make_scale_geoms(64, 64, 2, itemsize=4)
+    g_out, g_in = geoms[0], geoms[1]
+    assert _upsample_tiles(g_in, g_out) is not None, (g_in, g_out)
+    x = to_body(jnp.asarray(rng.random((2, 3, 32, 32)), jnp.float32), g_in)
+
+    want = body_upsample2(x, g_in, g_out)
+    got = flat_upsample2(x, g_in, g_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    cw = jnp.asarray(rng.random(want.shape), jnp.float32)
+    gw = jax.grad(lambda v: jnp.sum(body_upsample2(v, g_in, g_out) * cw))(x)
+    gg = jax.grad(lambda v: jnp.sum(flat_upsample2(v, g_in, g_out) * cw))(x)
+    # the kernel's VJP filters guard/pad cotangent junk by construction;
+    # compare on the body (both grads are body tensors of real pixels)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=1e-5)

@@ -106,6 +106,40 @@ class TestBoxFeatures:
         assert backend  # benchmark labeling requires a backend name
         np.testing.assert_array_equal(feats[0], feats[2])  # deterministic
 
+    def test_sentence_embeddings_real_transformer_path(self, tmp_path):
+        """Drive the actual transformers backend (VERDICT round-2 #9) with a
+        self-provisioned tiny local BERT — no downloads, real code path.
+
+        Reference loads sentence-transformers at module level
+        (funsd_preprocessing_word_level.py:11); our gated path must execute
+        the transformers branch when a local model exists, and report that
+        backend (so config-3 benchmarks can't silently mean char-ngram)."""
+        pytest.importorskip("transformers")
+        import os
+
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        from transformers import BertConfig, BertModel, BertTokenizer
+
+        d = str(tmp_path)
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                 "account", "number", "total", "##er", "a", "b"]
+        vp = os.path.join(d, "vocab.txt")
+        with open(vp, "w") as f:
+            f.write("\n".join(vocab))
+        tok = BertTokenizer(vp)
+        cfg = BertConfig(vocab_size=len(vocab), hidden_size=32,
+                         num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=64, max_position_embeddings=64)
+        tok.save_pretrained(d)
+        BertModel(cfg).save_pretrained(d)
+
+        feats, backend = wg.sentence_embedding_features(
+            ["account number", "total"], model_name=d, return_backend=True
+        )
+        assert backend == d  # transformers branch, NOT "char-ngram"
+        assert feats.shape == (2, 32)
+        assert np.isfinite(feats).all()
+
     def test_char_ngram_features_are_meaningful(self):
         """Fallback embeddings carry string similarity, not hashed noise:
         near-identical strings land closer than unrelated ones."""
