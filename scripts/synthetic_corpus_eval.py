@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--flat", type=int, default=0,
                     help="ModelConfig.flat_scales (channel-major fast path)")
     ap.add_argument("--epochs", type=int, default=0, help="override epochs")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="model-init PRNG seed (corpus stays fixed, so "
+                    "seed sweeps estimate training-run variance)")
     args = ap.parse_args(argv)
     quick = args.quick or args.smoke
 
@@ -135,7 +138,7 @@ def main(argv=None):
         flat_scales=args.flat,
     )
     model = build_model(mc)
-    params = model.init(jax.random.PRNGKey(0), batches[0][0][:1])
+    params = model.init(jax.random.PRNGKey(args.seed), batches[0][0][:1])
     cw = jnp.asarray([0.02] + [1.0] * (n_class - 1))
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-3))
     opt_state = tx.init(params)
@@ -196,6 +199,7 @@ def main(argv=None):
         "dtype": args.dtype,
         "flat_scales": args.flat,
         "epochs": epochs,
+        "seed": args.seed,
         **{k: round(v, 4) for k, v in summary.items()},
     }
     print(json.dumps(result))
