@@ -53,10 +53,11 @@ def main():
         # bf16 activations (f32 params/loss/grads): 480 ms/step vs 656 f32;
         # convergence-validated on-chip (PERF.md)
         dtype="bfloat16",
-        # channel-major flat layout on the two shallow scales (Pallas convs,
-        # ops/flatconv.py): 810 -> 552 ms/step at bs=16 (NHWC lane padding
-        # made the step HBM-bound; measured round 2)
-        flat_scales=2,
+        # channel-major flat layout on the three shallow scales (Pallas
+        # convs, ops/flatconv.py): NHWC lane padding made the step
+        # HBM-bound; fs=3 beat fs=2 by 8.6 ms/step once the flat upsample
+        # kernel landed (round 3: 184.1 vs 192.7 ms at bs=16)
+        flat_scales=3,
     )
     tcfg = TrainConfig(learning_rate=1e-4, lr_decay_staircase=False)
     if tcfg.matmul_precision and jax.default_backend() != "cpu":
@@ -81,7 +82,10 @@ def main():
     from msau_tpu.data.synth import make_structured_batch
 
     xh, yh = make_structured_batch(rng, bs, hw, cfg.n_class, cfg.img_channels)
-    x = jnp.asarray(xh)
+    # feed the batch in the model's compute dtype: the entry layer casts to
+    # bf16 anyway, so a resident f32 batch just doubles the input read
+    # (4.3 -> 2.15 GB at bs=16 512^2x64)
+    x = jnp.asarray(xh).astype(cfg.dtype)
     y = jnp.asarray(yh)
     batch = {"input": x, "label": y, "valid": jnp.ones((bs, hw, hw), bool)}
 

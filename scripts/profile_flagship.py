@@ -44,14 +44,16 @@ def main():
     cfg = ModelConfig(
         img_channels=64, n_class=17, scale_space_num=4, res_depth=2,
         feat_root=8, num_blocks=3, final_act="softmax", remat=False,
-        dtype="bfloat16", flat_scales=2,
+        dtype="bfloat16",
+        flat_scales=(2 if "--fs2" in sys.argv else 3),
     )
     model = build_model(cfg)
     optimizer = make_optimizer(TrainConfig(learning_rate=1e-4,
                                            lr_decay_staircase=False))
     rng = np.random.default_rng(0)
     xh, yh = make_structured_batch(rng, bs, hw, cfg.n_class, cfg.img_channels)
-    batch = {"input": jnp.asarray(xh), "label": jnp.asarray(yh),
+    batch = {"input": jnp.asarray(xh).astype(jnp.bfloat16),
+             "label": jnp.asarray(yh),
              "valid": jnp.ones((bs, hw, hw), bool)}
     params = model.init(jax.random.PRNGKey(0), batch["input"][:1])
     state = TrainState.create(params, optimizer)
