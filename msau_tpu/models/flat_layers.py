@@ -75,16 +75,18 @@ def body_to_nhwc(x_body: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
 
 def flat_eligible(cin: int, kh: int, kw: int, geom: FlatGeom,
                   itemsize: int, budget: int = VMEM_XS_BUDGET) -> bool:
-    """Does the tap-stack scratch fit VMEM at this geometry's smallest tile?
+    """Can the flat path serve this conv (directly or via cin chunking)?
 
-    Uses the same budget as ``choose_geom``/``_sub_tile`` so a conv that is
-    admitted here is guaranteed a sub-tile that actually fits (a previous
-    8 MiB gate could admit convs the 6 MiB tiler then couldn't place).
+    ``flat_conv2d`` splits convs wider than ``max_flat_cin`` into partial
+    convs over cin chunks summed in the output, so eligibility only
+    requires a single-channel tap stack to fit the shared VMEM budget —
+    the wide 64-channel chargrid entry conv now runs flat instead of
+    falling back to lane-padded NHWC.
     """
-    ts = [t for t in range(1, geom.tile_h + 1)
-          if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
-    t_min = min(ts)
-    return kh * kw * cin * t_min * geom.Wp * itemsize <= budget
+    from msau_tpu.ops.flatconv import max_flat_cin
+
+    del cin  # any width is chunkable once one channel fits
+    return max_flat_cin(kh, kw, geom, itemsize, budget) >= 1
 
 
 class FlatConvOp(nn.Module):

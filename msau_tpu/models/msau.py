@@ -133,6 +133,10 @@ class DownSamplingUNetBlock(nn.Module):
                     )(x, train=train)
                     y = nhwc_to_body(x, geom)
                 else:
+                    # cast BEFORE the layout change: the raw one-hot input
+                    # is f32 and the to_body transpose is bandwidth-bound
+                    # (4.3 GB at bs=16 512^2x64 in f32, half that in bf16)
+                    xin = x if self.dtype is None else x.astype(self.dtype)
                     y = DilConvBnLrnDrop(
                         features=feats,
                         kernel_size=k,
@@ -141,7 +145,7 @@ class DownSamplingUNetBlock(nn.Module):
                         use_lrn=self.use_lrn,
                         dtype=self.dtype,
                         name=f"dil_conv_{layer}",
-                    )(nhwc_to_body(x, geom), train=train, geom=geom)
+                    )(nhwc_to_body(xin, geom), train=train, geom=geom)
             else:
                 y = DilConvBnLrnDrop(
                     features=feats,

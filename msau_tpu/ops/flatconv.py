@@ -139,6 +139,21 @@ def choose_geom(h: int, w: int, *, min_p: int = DEFAULT_P,
     )
 
 
+def max_flat_cin(kh: int, kw: int, geom: FlatGeom, itemsize: int,
+                 budget: int = VMEM_XS_BUDGET) -> int:
+    """Widest cin whose tap-stack fits the budget at the smallest tile.
+
+    Convs wider than this are still served by the flat path via cin
+    chunking in ``flat_conv2d`` (partial convs summed), so eligibility for
+    the flat layout only requires max_flat_cin >= 1.
+    """
+    valid = [t for t in range(1, geom.tile_h + 1)
+             if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
+    t_min = min(valid)
+    per_cin = kh * kw * t_min * geom.Wp * itemsize
+    return budget // per_cin
+
+
 def _sub_tile(geom: FlatGeom, r: int, itemsize: int,
               budget: int = VMEM_XS_BUDGET) -> int:
     """Per-conv row-block: largest aligned divisor of tile_h within budget.
@@ -457,6 +472,7 @@ def flat_conv2d(
     padding: str = "SAME",
     out_dtype=None,
     mask_cotangent: bool = True,
+    vmem_budget: int = VMEM_XS_BUDGET,
 ) -> jnp.ndarray:
     """Stride-1 2-D conv on a body-flat tensor.
 
@@ -478,6 +494,30 @@ def flat_conv2d(
     if b is None:
         b = jnp.zeros((cout,), jnp.float32)
     out_dtype_name = jnp.dtype(out_dtype or x_body.dtype).name
+    cmax = max_flat_cin(kh, kw, geom, x_body.dtype.itemsize, vmem_budget)
+    if cin > cmax:
+        # Wide-cin conv (e.g. the 64-channel chargrid entry conv): the tap
+        # stack of the full conv blows VMEM, but the conv factorizes exactly
+        # into partial convs over cin chunks summed in the output — each
+        # chunk is its own Pallas call, the (chunks-1) extra output-sized
+        # read+add pairs are noise next to the lane-padding traffic the
+        # NHWC fallback would pay.  Balanced chunk sizes keep every call on
+        # the same sub-tile.
+        if cmax < 1:
+            raise ValueError(
+                f"flat conv infeasible even at cin=1 (cin={cin}, {geom})")
+        n_chunks = -(-cin // cmax)
+        chunk = -(-cin // n_chunks)
+        out = None
+        for i in range(0, cin, chunk):
+            j = min(i + chunk, cin)
+            part = _flat_conv_prim(
+                x_body[:, i:j, :], w[:, :, i:j, :],
+                b if i == 0 else jnp.zeros((cout,), jnp.float32),
+                geom, kh, kw, dilation, int(pt), int(pleft),
+                out_dtype_name, bool(mask_cotangent))
+            out = part if out is None else out + part
+        return out
     return _flat_conv_prim(x_body, w, b, geom, kh, kw, dilation, int(pt),
                            int(pleft), out_dtype_name, bool(mask_cotangent))
 

@@ -75,6 +75,43 @@ def test_grads_match_oracle(h, w, cin, cout, kh, kw, d, pad):
         )
 
 
+def test_wide_cin_chunked_matches_oracle():
+    """cin wider than the VMEM tap-stack budget splits into summed chunks.
+
+    A small forced budget makes cmax tiny at test shapes, exercising the
+    chunked path (the production trigger is the 64-channel chargrid entry
+    conv at 512^2, where the full tap stack blows VMEM).
+    """
+    from msau_tpu.ops.flatconv import max_flat_cin
+
+    geom = choose_geom(32, 48)
+    cin, cout = 32, 8
+    budget = 9 * geom.tile_h * geom.Wp * 4 * 7  # cmax == 7 -> 5 uneven chunks
+    assert max_flat_cin(3, 3, geom, 4, budget) == 7
+    xb = _mk(geom, cin, jax.random.PRNGKey(7))
+    wk = jax.random.normal(jax.random.PRNGKey(8), (3, 3, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(9), (cout,))
+    got = flat_conv2d(xb, wk, b, geom, vmem_budget=budget)
+    ref = flat_conv2d_reference(xb, wk, b, geom)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    cw = jax.random.normal(jax.random.PRNGKey(10), (2, cout, geom.LB))
+
+    def loss(fn, **kw):
+        def f(xb, wk, b):
+            return jnp.sum(fn(xb, wk, b, geom, **kw) * cw)
+        return f
+
+    g_got = jax.grad(loss(flat_conv2d, vmem_budget=budget),
+                     argnums=(0, 1, 2))(xb, wk, b)
+    g_ref = jax.grad(loss(flat_conv2d_reference), argnums=(0, 1, 2))(xb, wk, b)
+    for got, ref, name in zip(g_got, g_ref, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4,
+            err_msg=f"grad wrt {name}",
+        )
+
+
 def test_body_roundtrip_and_pool_upsample():
     geom = choose_geom(16, 24)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 24))
