@@ -233,7 +233,9 @@ def _plan(geom: FlatGeom, dims: _ConvDims, cin: int, itemsize: int) -> _Plan:
     raw0 = -(pt * geom.Wp + pleft)
     start0 = raw0 - (raw0 % 128)  # <= raw0, multiple of 128, <= 0
     q_max = ((kh - 1) * d - pt) * geom.Wp + ((kw - 1) * d - pleft) - start0
-    len_in = -(-(q_max + stride) // 128) * 128
+    # +1: the 3-row-tap scheme's widest row window is q_row_max + cw =
+    # q_max + stride + 1 (see _row_offsets)
+    len_in = -(-(q_max + stride + 1) // 128) * 128
     # first compute block (bi = g_blk) must start in range, and the last
     # compute block's window must end inside the tail guard (no clamping
     # may ever affect a compute block — clamps only serve guard blocks).
@@ -243,33 +245,66 @@ def _plan(geom: FlatGeom, dims: _ConvDims, cin: int, itemsize: int) -> _Plan:
     return _Plan(tile, stride, g_blk, n_blk, len_in, start0, r)
 
 
-def _tap_offsets(plan: _Plan, geom: FlatGeom, dims: _ConvDims):
-    """Static in-window offsets per tap, all >= 0."""
+def _row_offsets(plan: _Plan, geom: FlatGeom, dims: _ConvDims):
+    """Static in-window offsets per ROW tap (ky), all >= 0.
+
+    The kernels factor the conv by rows: KH lane-rotated copies build a
+    row stack xs3[ky*cin:(ky+1)*cin, j] = x[blockstart + j - pleft +
+    (ky*d - pt)*Wp]; one matmul against the [KH*Cin, KW*Cout]-regrouped
+    weights yields all KW column-shift groups at once, and the final
+    output sums KW misaligned row-slices of that product.  This replaces
+    KH*KW rotated copies (the VPU-bound part of the kernel: ~20% lane
+    efficiency on misaligned slices) with KH rotated copies of the same
+    width plus KW-1 misaligned adds over Cout rows — measured 1.67x on the
+    isolated 512^2 8->8 conv (scripts/exp_tap_variants.py).
+    """
     kh, kw, d, pt, pleft = dims
+    cw = plan.stride + (kw - 1) * d + 1
     out = []
     for ky in range(kh):
-        for kx in range(kw):
-            q = (ky * d - pt) * geom.Wp + (kx * d - pleft) - plan.start0
-            assert 0 <= q and q + plan.stride <= plan.len_in, (q, plan)
-            out.append((ky * kw + kx, q))
+        q = (ky * d - pt) * geom.Wp - pleft - plan.start0
+        assert 0 <= q and q + cw <= plan.len_in, (q, cw, plan)
+        out.append(q)
     return tuple(out)
 
 
-def _x_spec(plan: _Plan, geom: FlatGeom, cin: int):
+def _x_spec(plan: _Plan, geom: FlatGeom, cin: int, nb: int):
     hi_clamp = geom.LB - plan.len_in
 
     def x_index(ni, bi):
         s = bi * plan.stride + plan.start0
         s = jnp.clip(s, 0, hi_clamp)  # guard blocks read garbage, ignored
-        return (ni, 0, pl.multiple_of(s, 128))
+        # Mosaic requires all-Element (or no-Element) block dims, so the
+        # batch-group dim is Element too: offset in images, not groups
+        return (ni * nb, 0, pl.multiple_of(s, 128))
 
     return pl.BlockSpec(
-        (None, pl.Element(cin), pl.Element(plan.len_in)), x_index
+        (pl.Element(nb), pl.Element(cin), pl.Element(plan.len_in)), x_index
     )
 
 
+def _batch_block(n: int, in_bytes: int, out_bytes: int,
+                 stack_bytes: int) -> int:
+    """Images per grid step: the grid (n, n_blk) runs tiny blocks whose
+    per-step fixed cost (DMA issue, semaphores) dominates at feat_root-
+    sized channels (~5 us/step vs ~2 us of work at 512^2 cin=8) — so
+    process the largest divisor of n whose double-buffered windows plus
+    the shared tap stack stay inside a 12 MiB working set.
+    """
+    budget = 12 * 2**20
+    nb = 1
+    for cand in (8, 4, 2):
+        if n % cand == 0 and cand * (in_bytes + out_bytes) * 2 + stack_bytes <= budget:
+            nb = cand
+            break
+    return nb
+
+
 def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, xs_ref, *,
-                plan: _Plan, offs, cin: int, cout: int, precision):
+                plan: _Plan, offs, dims: _ConvDims, cin: int, cout: int,
+                nb: int, precision):
+    kh, kw, d = dims.kh, dims.kw, dims.d
+    cw = plan.stride + (kw - 1) * d + 1
     bi = pl.program_id(1)
     is_guard = jnp.logical_or(bi < plan.g_blk,
                               bi >= plan.n_blk - plan.g_blk)
@@ -280,25 +315,33 @@ def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, xs_ref, *,
 
     @pl.when(jnp.logical_not(is_guard))
     def _():
-        for tap, q in offs:
-            xs_ref[tap * cin:(tap + 1) * cin, :] = x_ref[:, q:q + plan.stride]
-        acc = jax.lax.dot_general(
-            w_ref[:], xs_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # [Cout, L]
-        acc = (acc + b_ref[:]) * m_ref[:]
-        o_ref[:] = acc.astype(o_ref.dtype)
+        for i in range(nb):
+            for ky, q in enumerate(offs):
+                xs_ref[ky * cin:(ky + 1) * cin, :cw] = (
+                    x_ref[i, :, q:q + cw])
+            z = jax.lax.dot_general(
+                w_ref[:], xs_ref[:, :cw], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [KW*Cout, cw]: z_kx in rows [kx*cout, (kx+1)*cout)
+            acc = z[0:cout, 0:plan.stride]
+            for kx in range(1, kw):
+                acc = acc + z[kx * cout:(kx + 1) * cout,
+                              kx * d:kx * d + plan.stride]
+            acc = (acc + b_ref[:]) * m_ref[:]
+            o_ref[i, :, :] = acc.astype(o_ref.dtype)
 
 
-def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, *, plan: _Plan, offs,
-               cin: int, cout: int, precision):
+def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, gs_ref, *, plan: _Plan, offs,
+               dims: _ConvDims, cin: int, cout: int, nb: int, precision):
     # The first-visit zero-init + `+=` accumulation below relies on the
     # default sequential ('arbitrary') grid semantics: every grid step
     # revisits the same dw block in order.  Do NOT add
     # dimension_semantics=('parallel', ...) to this pallas_call — a
     # parallel batch dim would race the accumulator and silently corrupt
     # weight gradients.
+    kh, kw, d = dims.kh, dims.kw, dims.d
+    cw = plan.stride + (kw - 1) * d + 1
     ni = pl.program_id(0)
     bi = pl.program_id(1)
 
@@ -311,14 +354,30 @@ def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, *, plan: _Plan, offs,
 
     @pl.when(jnp.logical_not(is_guard))
     def _():
-        for tap, q in offs:
-            xs_ref[tap * cin:(tap + 1) * cin, :] = x_ref[:, q:q + plan.stride]
-        # g pad cols / guards are zero, so xs junk contributes nothing.
-        dw_ref[:] += jax.lax.dot_general(
-            xs_ref[:], g_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        # dw3[ky*cin+ci, kx*cout+co] = sum_j xs3[ky*cin+ci, j] *
+        # g[co, j - kx*d]: the column-shifted g stack gs carries each kx
+        # group at lane offset kx*d, ZERO outside [kx*d, kx*d + stride) —
+        # out-of-block tap contributions belong to neighbouring grid steps.
+        for kx in range(kw):
+            lo, hi = kx * d, kx * d + plan.stride
+            if lo > 0:
+                gs_ref[kx * cout:(kx + 1) * cout, :lo] = jnp.zeros_like(
+                    gs_ref[kx * cout:(kx + 1) * cout, :lo])
+            if hi < cw:
+                gs_ref[kx * cout:(kx + 1) * cout, hi:cw] = jnp.zeros_like(
+                    gs_ref[kx * cout:(kx + 1) * cout, hi:cw])
+        for i in range(nb):
+            for ky, q in enumerate(offs):
+                xs_ref[ky * cin:(ky + 1) * cin, :cw] = (
+                    x_ref[i, :, q:q + cw])
+            for kx in range(kw):
+                gs_ref[kx * cout:(kx + 1) * cout,
+                       kx * d:kx * d + plan.stride] = g_ref[i]
+            dw_ref[:] += jax.lax.dot_general(
+                xs_ref[:, :cw], gs_ref[:, :cw], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [KH*Cin, KW*Cout]
 
 
 def _dot_precision(dtype) -> jax.lax.Precision:
@@ -343,25 +402,34 @@ def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
     """Core pallas_call: body x [N, Cin, LB] -> body y [N, Cout, LB]."""
     n, cin, lb = xb.shape
     assert lb == geom.LB, (xb.shape, geom)
-    plan = _plan(geom, dims, cin, xb.dtype.itemsize)
-    offs = _tap_offsets(plan, geom, dims)
+    kh, kw = dims.kh, dims.kw
+    itemsize = xb.dtype.itemsize
+    plan = _plan(geom, dims, cin, itemsize)
+    offs = _row_offsets(plan, geom, dims)
+    cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
+    # stack budget: xs3 scratch + 2x the f32 z intermediate ([KW*Cout, cw])
+    # the kernel materializes per image (the 4x4/17-out end conv OOM'd
+    # VMEM when this was uncounted)
+    nb = _batch_block(n, cin * plan.len_in * itemsize,
+                      cout * plan.stride * itemsize,
+                      kh * cin * cwp * itemsize + 2 * kw * cout * cwp * 4)
     kernel = functools.partial(
-        _fwd_kernel, plan=plan, offs=offs, cin=cin, cout=cout,
-        precision=_dot_precision(xb.dtype),
+        _fwd_kernel, plan=plan, offs=offs, dims=dims, cin=cin, cout=cout,
+        nb=nb, precision=_dot_precision(xb.dtype),
     )
     return pl.pallas_call(
         kernel,
-        grid=(n, plan.n_blk),
+        grid=(n // nb, plan.n_blk),
         in_specs=[
-            _x_spec(plan, geom, cin),
-            pl.BlockSpec((plan.r, cout), lambda ni, bi: (0, 0)),
+            _x_spec(plan, geom, cin, nb),
+            pl.BlockSpec((kh * cin, kw * cout), lambda ni, bi: (0, 0)),
             pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
             pl.BlockSpec((1, plan.stride), lambda ni, bi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, cout, plan.stride),
+        out_specs=pl.BlockSpec((nb, cout, plan.stride),
                                lambda ni, bi: (ni, 0, bi)),
         out_shape=jax.ShapeDtypeStruct((n, cout, geom.LB), out_dtype),
-        scratch_shapes=[pltpu.VMEM((plan.r, plan.stride), xb.dtype)],
+        scratch_shapes=[pltpu.VMEM((kh * cin, cwp), xb.dtype)],
         interpret=interpret,
     )(xb, w2, b, _col_mask(plan, geom))
 
@@ -370,31 +438,43 @@ def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
              dims: _ConvDims, cin: int, cout: int,
              interpret: bool) -> jnp.ndarray:
     n = xb.shape[0]
-    plan = _plan(geom, dims, cin, xb.dtype.itemsize)
-    offs = _tap_offsets(plan, geom, dims)
+    kh, kw = dims.kh, dims.kw
+    itemsize = xb.dtype.itemsize
+    plan = _plan(geom, dims, cin, itemsize)
+    offs = _row_offsets(plan, geom, dims)
+    cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
+    nb = _batch_block(n, cin * plan.len_in * itemsize,
+                      cout * plan.stride * itemsize,
+                      (kh * cin + kw * cout) * cwp * itemsize)
     kernel = functools.partial(
-        _dw_kernel, plan=plan, offs=offs, cin=cin, cout=cout,
-        precision=_dot_precision(xb.dtype),
+        _dw_kernel, plan=plan, offs=offs, dims=dims, cin=cin, cout=cout,
+        nb=nb, precision=_dot_precision(xb.dtype),
     )
     return pl.pallas_call(
         kernel,
-        grid=(n, plan.n_blk),
+        grid=(n // nb, plan.n_blk),
         in_specs=[
-            _x_spec(plan, geom, cin),
-            pl.BlockSpec((None, cout, plan.stride),
+            _x_spec(plan, geom, cin, nb),
+            pl.BlockSpec((nb, cout, plan.stride),
                          lambda ni, bi: (ni, 0, bi)),
         ],
-        out_specs=pl.BlockSpec((plan.r, cout), lambda ni, bi: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((plan.r, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((plan.r, plan.stride), xb.dtype)],
+        out_specs=pl.BlockSpec((kh * cin, kw * cout),
+                               lambda ni, bi: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((kh * cin, kw * cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((kh * cin, cwp), xb.dtype),
+                        pltpu.VMEM((kw * cout, cwp), xb.dtype)],
         interpret=interpret,
     )(xb, g)
 
 
-def _w_stack(w: jnp.ndarray, dtype) -> jnp.ndarray:
-    """[KH, KW, Cin, Cout] -> [KH*KW*Cin, Cout] matching the tap order."""
+def _w_group(w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[KH, KW, Cin, Cout] -> [KH*Cin, KW*Cout] for the 3-row-tap kernels.
+
+    Element [ky*cin + ci, kx*cout + co] = w[ky, kx, ci, co].
+    """
     kh, kw, cin, cout = w.shape
-    return w.reshape(kh * kw * cin, cout).astype(dtype)
+    return jnp.transpose(w, (0, 2, 1, 3)).reshape(
+        kh * cin, kw * cout).astype(dtype)
 
 
 def _w_transposed(w: jnp.ndarray) -> jnp.ndarray:
@@ -416,7 +496,7 @@ def _flat_conv_prim(xb, w, b, geom: FlatGeom, kh: int, kw: int,
     cout = w.shape[-1]
     out_dtype = jnp.dtype(out_dtype_name)
     return _conv_body(
-        xb, _w_stack(w, xb.dtype), b.reshape(-1, 1).astype(jnp.float32),
+        xb, _w_group(w, xb.dtype), b.reshape(-1, 1).astype(jnp.float32),
         geom, dims, cout, out_dtype, _use_interpret(),
     )
 
@@ -450,11 +530,11 @@ def _flat_conv_bwd(geom, kh, kw, dilation, pt, pleft, out_dtype_name,
                        (kw - 1) * dilation - pleft)
     wt = _w_transposed(w)
     zero_b = jnp.zeros((cin,), jnp.float32)
-    dxb = _conv_body(g, _w_stack(wt, g.dtype), zero_b.reshape(-1, 1),
+    dxb = _conv_body(g, _w_group(wt, g.dtype), zero_b.reshape(-1, 1),
                      geom, dims_t, cin, xb.dtype, interp)
     # dw: one stacked matmul per tile, accumulated across the grid
     dw2 = _dw_call(xb, g, geom, dims, cin, cout, interp)
-    dw = dw2.reshape(kh, kw, cin, cout).astype(w.dtype)
+    dw = dw2.reshape(kh, cin, kw, cout).transpose(0, 2, 1, 3).astype(w.dtype)
     db = jnp.sum(g, axis=(0, 2), dtype=jnp.float32)
     return dxb, dw, db
 
@@ -600,7 +680,7 @@ def _insert_matrix(geom_in: FlatGeom, geom_out: FlatGeom, dtype) -> jnp.ndarray:
 
 
 def _ups_fwd_kernel(x_ref, m_ref, o_ref, *, t_out, wp_in, wp_out,
-                    g_blk, n_blk, precision):
+                    g_blk, n_blk, nb, precision):
     bi = pl.program_id(1)
     is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
 
@@ -610,20 +690,22 @@ def _ups_fwd_kernel(x_ref, m_ref, o_ref, *, t_out, wp_in, wp_out,
 
     @pl.when(jnp.logical_not(is_guard))
     def _():
-        zero_row = jnp.zeros_like(o_ref[:, :wp_out])
-        for m in range(t_out // 2):
-            row = x_ref[:, m * wp_in:(m + 1) * wp_in]
-            out = jax.lax.dot_general(
-                row, m_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            o_ref[:, 2 * m * wp_out:(2 * m + 1) * wp_out] = out.astype(
-                o_ref.dtype)
-            o_ref[:, (2 * m + 1) * wp_out:(2 * m + 2) * wp_out] = zero_row
+        zero_row = jnp.zeros_like(o_ref[0, :, :wp_out])
+        for i in range(nb):
+            for m in range(t_out // 2):
+                row = x_ref[i, :, m * wp_in:(m + 1) * wp_in]
+                out = jax.lax.dot_general(
+                    row, m_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                o_ref[i, :, 2 * m * wp_out:(2 * m + 1) * wp_out] = out.astype(
+                    o_ref.dtype)
+                o_ref[i, :, (2 * m + 1) * wp_out:(2 * m + 2) * wp_out] = (
+                    zero_row)
 
 
 def _ups_bwd_kernel(g_ref, m_ref, o_ref, *, t_in, wp_in, wp_out,
-                    g_blk, n_blk, precision):
+                    g_blk, n_blk, nb, precision):
     bi = pl.program_id(1)
     is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
 
@@ -633,13 +715,15 @@ def _ups_bwd_kernel(g_ref, m_ref, o_ref, *, t_in, wp_in, wp_out,
 
     @pl.when(jnp.logical_not(is_guard))
     def _():
-        for m in range(t_in):
-            grow = g_ref[:, 2 * m * wp_out:(2 * m + 1) * wp_out]
-            out = jax.lax.dot_general(
-                grow, m_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            o_ref[:, m * wp_in:(m + 1) * wp_in] = out.astype(o_ref.dtype)
+        for i in range(nb):
+            for m in range(t_in):
+                grow = g_ref[i, :, 2 * m * wp_out:(2 * m + 1) * wp_out]
+                out = jax.lax.dot_general(
+                    grow, m_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                o_ref[i, :, m * wp_in:(m + 1) * wp_in] = out.astype(
+                    o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -663,24 +747,29 @@ def flat_upsample2(x_body: jnp.ndarray, geom_in: FlatGeom,
     g_blk = geom_out.tile_h // t_out
     n_blk = geom_out.H // t_out + 2 * g_blk
     len_win = (t_out // 2) * wp_in
+    itemsize = x_body.dtype.itemsize
+    nb = _batch_block(n, c * len_win * itemsize,
+                      c * t_out * wp_out * itemsize, 0)
     kernel = functools.partial(
         _ups_fwd_kernel, t_out=t_out, wp_in=wp_in, wp_out=wp_out,
-        g_blk=g_blk, n_blk=n_blk, precision=_dot_precision(x_body.dtype),
+        g_blk=g_blk, n_blk=n_blk, nb=nb,
+        precision=_dot_precision(x_body.dtype),
     )
 
     def x_index(ni, bi):
         s = (bi - g_blk) * len_win + geom_in.S
-        return (ni, 0, pl.multiple_of(jnp.clip(s, 0, geom_in.LB - len_win),
-                                      128))
+        return (ni * nb, 0,
+                pl.multiple_of(jnp.clip(s, 0, geom_in.LB - len_win), 128))
 
     return pl.pallas_call(
         kernel,
-        grid=(n, n_blk),
+        grid=(n // nb, n_blk),
         in_specs=[
-            pl.BlockSpec((None, pl.Element(c), pl.Element(len_win)), x_index),
+            pl.BlockSpec(
+                (pl.Element(nb), pl.Element(c), pl.Element(len_win)), x_index),
             pl.BlockSpec((wp_in, wp_out), lambda ni, bi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, c, t_out * wp_out),
+        out_specs=pl.BlockSpec((nb, c, t_out * wp_out),
                                lambda ni, bi: (ni, 0, bi)),
         out_shape=jax.ShapeDtypeStruct((n, c, geom_out.LB), x_body.dtype),
         interpret=_use_interpret(),
@@ -698,26 +787,30 @@ def _flat_upsample2_bwd(geom_in, geom_out, _, g):
     g_blk = geom_in.tile_h // t_in
     n_blk = geom_in.H // t_in + 2 * g_blk
     len_win = 2 * t_in * wp_out
+    itemsize = g.dtype.itemsize
+    nb = _batch_block(n, c * len_win * itemsize,
+                      c * t_in * wp_in * itemsize, 0)
     kernel = functools.partial(
         _ups_bwd_kernel, t_in=t_in, wp_in=wp_in, wp_out=wp_out,
-        g_blk=g_blk, n_blk=n_blk, precision=_dot_precision(g.dtype),
+        g_blk=g_blk, n_blk=n_blk, nb=nb, precision=_dot_precision(g.dtype),
     )
 
     def g_index(ni, bi):
         s = (bi - g_blk) * len_win + geom_out.S
-        return (ni, 0, pl.multiple_of(jnp.clip(s, 0, geom_out.LB - len_win),
-                                      128))
+        return (ni * nb, 0,
+                pl.multiple_of(jnp.clip(s, 0, geom_out.LB - len_win), 128))
 
     # transpose insert matrix: dx row j sums g row 2j's column 2j entries
     mt = jnp.transpose(_insert_matrix(geom_in, geom_out, g.dtype))
     dx = pl.pallas_call(
         kernel,
-        grid=(n, n_blk),
+        grid=(n // nb, n_blk),
         in_specs=[
-            pl.BlockSpec((None, pl.Element(c), pl.Element(len_win)), g_index),
+            pl.BlockSpec(
+                (pl.Element(nb), pl.Element(c), pl.Element(len_win)), g_index),
             pl.BlockSpec((wp_out, wp_in), lambda ni, bi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, c, t_in * wp_in),
+        out_specs=pl.BlockSpec((nb, c, t_in * wp_in),
                                lambda ni, bi: (ni, 0, bi)),
         out_shape=jax.ShapeDtypeStruct((n, c, geom_in.LB), g.dtype),
         interpret=_use_interpret(),

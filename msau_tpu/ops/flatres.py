@@ -35,6 +35,7 @@ from msau_tpu.ops.flatconv import (
     _plan,
     _sub_tile,
     _use_interpret,
+    _w_group,
     body_mask,
 )
 
@@ -88,43 +89,65 @@ def _win(plan: _FusedPlan, rows: int) -> int:
     return rows * plan.geom.Wp + 128
 
 
-def _x_spec(plan: _FusedPlan, cin: int):
+def _x_spec(plan: _FusedPlan, cin: int, nb: int):
     hi_clamp = plan.geom.LB - plan.len_in
 
     def x_index(ni, bi):
         s = bi * plan.stride + plan.start0
         s = jnp.clip(s, 0, hi_clamp)
-        return (ni, 0, pl.multiple_of(s, 128))
+        # all-Element dims (Mosaic disallows mixing): batch offset in images
+        return (ni * nb, 0, pl.multiple_of(s, 128))
 
     return pl.BlockSpec(
-        (None, pl.Element(cin), pl.Element(plan.len_in)), x_index
+        (pl.Element(nb), pl.Element(cin), pl.Element(plan.len_in)), x_index
     )
+
+
+def _fused_batch_block(n: int, plan: _FusedPlan, itemsize: int,
+                       n_windows: int, scratch_bytes: int) -> int:
+    """Images per grid step (same rationale as flatconv._batch_block: the
+    per-grid-step fixed cost dominates at feat_root channel counts).
+    n_windows: streamed Element windows + output blocks per image."""
+    budget = 12 * 2**20
+    per_img = n_windows * plan.c * plan.len_in * itemsize
+    for cand in (8, 4, 2):
+        if n % cand == 0 and cand * per_img * 2 + scratch_bytes <= budget:
+            return cand
+    return 1
 
 
 def _conv_into(src_ref, xs_ref, w_ref, *, c, wp, row0, col0,
                n_rows, precision):
-    """3x3 tap-stack conv: src rows [row0-1, row0-1+n_rows+2) -> n_rows rows.
+    """3x3 conv via the 3-row-tap scheme: src rows [row0-1, row0-1+n_rows+2)
+    -> n_rows rows.
 
     src_ref: VMEM buffer whose element (r_rel, col) sits at flat index
     r_rel*wp + col + col0 (col0 absorbs the window's column origin).
-    Returns the f32 accumulator [c, n_rows*wp].
+    w_ref: [3*C, 3*C_out] regrouped weights (flatconv._w_group order).
+    Returns the f32 accumulator [c_out, n_rows*wp].
+
+    3 lane-rotated row copies + one dot + 2 shifted adds replace the 9
+    rotated tap copies (the VPU-bound part; see flatconv._row_offsets).
     """
     L = n_rows * wp
+    cw = L + 3
+    cout = w_ref.shape[1] // 3
     for ky in range(3):
-        for kx in range(3):
-            q = (row0 - 1 + ky) * wp + (kx - 1) + col0
-            xs_ref[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c, :L] = (
-                src_ref[:, q:q + L]
-            )
-    return jax.lax.dot_general(
-        w_ref[:], xs_ref[:, :L], (((0,), (0,)), ((), ())),
+        # column j of xs3 row-group ky = src position (p = j - 1) under
+        # row tap ky: flat src index (row0 - 1 + ky)*wp + col0 - 1 + j
+        q = (row0 - 1 + ky) * wp + col0 - 1
+        xs_ref[ky * c:(ky + 1) * c, :cw] = src_ref[:, q:q + cw]
+    z = jax.lax.dot_general(
+        w_ref[:], xs_ref[:, :cw], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
-    )
+    )  # [3*C_out, cw]; z_kx = rows [kx*cout, (kx+1)*cout)
+    return (z[0:cout, 0:L] + z[cout:2 * cout, 1:L + 1]
+            + z[2 * cout:3 * cout, 2:L + 2])
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, rid_ref,
                 o_ref, xs_ref, h0_ref, h1_ref, *, plan: _FusedPlan,
-                act_name: str, precision):
+                act_name: str, nb: int, precision):
     c, wp, t = plan.c, plan.geom.Wp, plan.tile
     act, _ = _act_fns(act_name)
     bi = pl.program_id(1)
@@ -136,13 +159,14 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, rid_ref,
 
     @pl.when(jnp.logical_not(is_guard))
     def _():
+      for i in range(nb):
         O = plan.origin
         # h0 = relu(x) over rows [h0-2, h0+t+2); buffer element (r_rel, col)
         # at r_rel*wp + col - 2 + ... : keep the raw window shift (col0=-2
         # relative to O) and account for it in the tap offsets.
         n0 = t + 4
         h0_ref[:, : n0 * wp] = jnp.maximum(
-            x_ref[:, O:O + n0 * wp], 0.0
+            x_ref[i, :, O:O + n0 * wp], 0.0
         ).astype(h0_ref.dtype)
         h0_ref[:, n0 * wp:] = jnp.zeros_like(h0_ref[:, n0 * wp:])
         # conv1 -> u rows [h0-1, h0+t+1): src h0 rows offset row0=1
@@ -173,16 +197,16 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, rid_ref,
         # conv2 -> y rows [h0, h0+t): src h1 rows offset row0=2, col0=0
         y = _conv_into(h1_ref, xs_ref, w2_ref, c=c, wp=wp,
                        row0=2, col0=0, n_rows=t, precision=precision)
-        xcen = x_ref[:, O + 2 * wp + 2: O + 2 * wp + 2 + t * wp]
+        xcen = x_ref[i, :, O + 2 * wp + 2: O + 2 * wp + 2 + t * wp]
         y_pre = y + b2_ref[:] + xcen.astype(jnp.float32)
-        o_ref[:] = jnp.where(m_ref[:, : t * wp] > 0, act(y_pre),
-                             0.0).astype(o_ref.dtype)
+        o_ref[i, :, :] = jnp.where(m_ref[:, : t * wp] > 0, act(y_pre),
+                                   0.0).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref,
                 w2t_ref, m_ref, rid_ref, dx_ref, dw1_ref, dw2_ref, db1_ref,
-                db2_ref, xs_ref, h0_ref, h1_ref, gu_ref, gv_ref, *,
-                plan: _FusedPlan, act_name: str, precision):
+                db2_ref, xs_ref, h0_ref, h1_ref, gu_ref, gv_ref, gs_ref, *,
+                plan: _FusedPlan, act_name: str, nb: int, precision):
     """One-pass fused backward; recomputes h0/h1/y_pre windows in VMEM.
 
     g_ref is the incoming cotangent window (same Element spec as x but with
@@ -212,11 +236,12 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref,
 
     @pl.when(jnp.logical_not(is_guard))
     def _():
+      for i in range(nb):
         O = plan.origin  # (row h0-4, col -4) for the bwd halo-4 window
         # recompute h0 = relu(x) rows [h0-4, h0+t+4)
         n0 = t + 8
         h0_ref[:, : n0 * wp] = jnp.maximum(
-            x_ref[:, O:O + n0 * wp], 0.0
+            x_ref[i, :, O:O + n0 * wp], 0.0
         ).astype(h0_ref.dtype)
         h0_ref[:, n0 * wp:] = jnp.zeros_like(h0_ref[:, n0 * wp:])
         # u_pre rows [h0-3, h0+t+3)
@@ -241,12 +266,12 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref,
         n2 = t + 4
         y = _conv_into(h1_ref, xs_ref, w2_ref, c=c, wp=wp,
                        row0=2, col0=0, n_rows=n2, precision=precision)
-        xc = x_ref[:, O + 2 * wp + 4: O + 2 * wp + 4 + n2 * wp]
+        xc = x_ref[i, :, O + 2 * wp + 4: O + 2 * wp + 4 + n2 * wp]
         y_pre = y + b2_ref[:] + xc.astype(jnp.float32)
         # incoming g rows [h0-2, h0+t+2) (own window origin: row h0-2,
         # col -2 => element (r_rel, col) at r_rel*wp + col - 2 + Og)
         Og = plan.origin  # same spec constant; g window uses halo-4 spec too
-        graw = g_ref[:, Og + 2 * wp + 4: Og + 2 * wp + 4 + n2 * wp]
+        graw = g_ref[i, :, Og + 2 * wp + 4: Og + 2 * wp + 4 + n2 * wp]
         g_yres = jnp.where(m_ref[:, : n2 * wp] > 0,
                            graw.astype(jnp.float32), 0.0)
         g_u2 = g_yres * dact(y_pre)  # cotangent of y_pre rows [h0-2,t+2)
@@ -281,45 +306,48 @@ def _bwd_kernel(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref,
         g_h0 = _conv_into(gv_ref, xs_ref, w1t_ref, c=c, wp=wp,
                           row0=2, col0=0, n_rows=t, precision=precision)
         # dx = g_h0 * relu'(x_center) + g_yres_center (residual path)
-        xcen = x_ref[:, O + 4 * wp + 4: O + 4 * wp + 4 + t * wp]
+        xcen = x_ref[i, :, O + 4 * wp + 4: O + 4 * wp + 4 + t * wp]
         # residual path: dL/dx += dL/dy_pre = g * act'(y_pre) = g_u2
         g_res = g_u2[:, 2 * wp: 2 * wp + t * wp]
         dx = g_h0 * (xcen.astype(jnp.float32) > 0) + g_res
-        dx_ref[:] = dx.astype(dx_ref.dtype)
+        dx_ref[i, :, :] = dx.astype(dx_ref.dtype)
 
         # --- weight/bias grads (partitioned over each conv's own output
-        # positions: center rows only) ---
-        # dw2[tap, co] += sum_l h1taps[tap, l] * g_u2_center[co, l]
-        g_u2c = g_u2[:, 2 * wp: 2 * wp + t * wp]
+        # positions: center rows only), 3-row-tap form:
+        # dw3[ky*c+ci, kx*c+co] = sum_j src3[ky*c+ci, j] * g[co, j - kx],
+        # with the shifted-g stack gs zero outside [kx, kx + t*wp).
+        L = t * wp
+        cwL = L + 3
+        for kx in range(3):
+            if kx > 0:
+                gs_ref[kx * c:(kx + 1) * c, :kx] = jnp.zeros_like(
+                    gs_ref[kx * c:(kx + 1) * c, :kx])
+            gs_ref[kx * c:(kx + 1) * c, kx + L:cwL] = jnp.zeros_like(
+                gs_ref[kx * c:(kx + 1) * c, kx + L:cwL])
+        # dw2: h1 row taps (out global h0+r taps h1 buffer row r+ky+3,
+        # col shift kx-1 => row base (3+ky)*wp - 1)
+        g_u2c = g_u2[:, 2 * wp: 2 * wp + L]
         for ky in range(3):
-            for kx in range(3):
-                # h1 buffer row for out global h0+r is (r+4)+ky-1... h1
-                # buffer row 0 = global h0-5?? buffer origin: guard row 0
-                # = global h0-4-1? (see store above: rows 1..n1+1 hold
-                # u rows [h0-3, h0+t+3)) => global h0+r+dy at buffer row
-                # r + dy + 4; dy = ky-1 => row0 = r + ky + 3
-                q = (3 + ky) * wp + (kx - 1)
-                xs_ref[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c, : t * wp] = (
-                    h1_ref[:, q:q + t * wp]
-                )
+            q = (3 + ky) * wp - 1
+            xs_ref[ky * c:(ky + 1) * c, :cwL] = h1_ref[:, q:q + cwL]
+        for kx in range(3):
+            gs_ref[kx * c:(kx + 1) * c, kx:kx + L] = g_u2c.astype(
+                gs_ref.dtype)
         dw2_ref[:] += jax.lax.dot_general(
-            xs_ref[:, : t * wp], g_u2c, (((1,), (1,)), ((), ())),
+            xs_ref[:, :cwL], gs_ref[:, :cwL], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         db2_ref[:] += jnp.sum(g_u2c, axis=1, keepdims=True)
-        # dw1[tap, co] += sum_l h0taps[tap, l] * g_v_center[co, l]
-        g_vc = g_v[:, 1 * wp: 1 * wp + t * wp]
+        # dw1: h0 row taps (col shift kx+3 => row base (3+ky)*wp + 3)
+        g_vc = g_v[:, 1 * wp: 1 * wp + L]
         for ky in range(3):
-            for kx in range(3):
-                # h0 buffer element (r_rel, col) at r_rel*wp + col - 4;
-                # v-output global h0+r taps h0 global row h0+r+ky-1 =
-                # buffer row r+ky+3, col c+kx-1 => +4 shift: kx+3
-                q = (3 + ky) * wp + (kx + 3)
-                xs_ref[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c, : t * wp] = (
-                    h0_ref[:, q:q + t * wp]
-                )
+            q = (3 + ky) * wp + 3
+            xs_ref[ky * c:(ky + 1) * c, :cwL] = h0_ref[:, q:q + cwL]
+        for kx in range(3):
+            gs_ref[kx * c:(kx + 1) * c, kx:kx + L] = g_vc.astype(
+                gs_ref.dtype)
         dw1_ref[:] += jax.lax.dot_general(
-            xs_ref[:, : t * wp], g_vc, (((1,), (1,)), ((), ())),
+            xs_ref[:, :cwL], gs_ref[:, :cwL], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
         db1_ref[:] += jnp.sum(g_vc, axis=1, keepdims=True)
@@ -347,12 +375,14 @@ def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
         fwd, bwd = _mk_plans(geom, c, itemsize)
     except (AssertionError, ValueError):
         return False
-    # actual bwd scratch: tap stack + 4 guarded row buffers + 2 windows
+    # actual bwd scratch: 3-row stack + f32 g-stack + 4 guarded row
+    # buffers + 2 streamed windows
     wp = geom.Wp
     t = bwd.tile
-    scratch = (9 * c * (t + 6) * wp
-               + 4 * c * ((t + 8) * wp + 128)
-               + 2 * 2 * c * bwd.len_in) * itemsize
+    scratch = ((3 * c * (t + 6) * wp
+                + 4 * c * ((t + 8) * wp + 128)
+                + 2 * 2 * c * bwd.len_in) * itemsize
+               + 3 * c * (t * wp + 128) * 4)
     return scratch <= vmem_budget
 
 
@@ -369,10 +399,6 @@ def flat_res_block(x, w1, b1, w2, b2, geom: FlatGeom, activation: str,
     return _fused_fwd_call(x, w1, b1, w2, b2, geom, activation)
 
 
-def _w_stack(w, dtype):
-    return w.reshape(9 * w.shape[2], w.shape[3]).astype(dtype)
-
-
 def _w_t(w):
     return jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
 
@@ -380,38 +406,42 @@ def _w_t(w):
 def _fused_fwd_call(x, w1, b1, w2, b2, geom, activation):
     n, c, lb = x.shape
     assert lb == geom.LB
-    plan = _FusedPlan(geom, c, x.dtype.itemsize, halo=2)
+    itemsize = x.dtype.itemsize
+    plan = _FusedPlan(geom, c, itemsize, halo=2)
     wp, t = geom.Wp, plan.tile
-    r = 9 * c
     interp = _use_interpret()
+    scratch_bytes = ((3 * c * ((t + 2) * wp + 128)
+                      + 2 * c * _win(plan, t + 4)) * itemsize
+                     + 2 * 3 * c * ((t + 2) * wp + 128) * 4)  # f32 z temps
+    nb = _fused_batch_block(n, plan, itemsize, 2, scratch_bytes)
     kernel = functools.partial(
-        _fwd_kernel, plan=plan, act_name=activation,
+        _fwd_kernel, plan=plan, act_name=activation, nb=nb,
         precision=_dot_precision(x.dtype),
     )
     mask = _mask_row(wp, geom.W, t + 2, plan.stride)
     return pl.pallas_call(
         kernel,
-        grid=(n, plan.n_blk),
+        grid=(n // nb, plan.n_blk),
         in_specs=[
-            _x_spec(plan, c),
-            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            _x_spec(plan, c, nb),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, bi: (0, 0)),
             pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
-            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, bi: (0, 0)),
             pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
             pl.BlockSpec((1, (t + 2) * wp), lambda ni, bi: (0, 0)),
             pl.BlockSpec((1, (t + 2) * wp), lambda ni, bi: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, c, plan.stride),
+        out_specs=pl.BlockSpec((nb, c, plan.stride),
                                lambda ni, bi: (ni, 0, bi)),
         out_shape=jax.ShapeDtypeStruct((n, c, geom.LB), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((r, (t + 2) * wp), x.dtype),
+            pltpu.VMEM((3 * c, (t + 2) * wp + 128), x.dtype),
             pltpu.VMEM((c, _win(plan, t + 4)), x.dtype),
             pltpu.VMEM((c, _win(plan, t + 4)), x.dtype),
         ],
         interpret=interp,
-    )(x, _w_stack(w1, x.dtype), b1.reshape(-1, 1).astype(jnp.float32),
-      _w_stack(w2, x.dtype), b2.reshape(-1, 1).astype(jnp.float32), mask,
+    )(x, _w_group(w1, x.dtype), b1.reshape(-1, 1).astype(jnp.float32),
+      _w_group(w2, x.dtype), b2.reshape(-1, 1).astype(jnp.float32), mask,
       _row_idx(wp, t + 2))
 
 
@@ -424,61 +454,68 @@ def _fused_vjp_fwd(x, w1, b1, w2, b2, geom, activation,
 def _fused_vjp_bwd(geom, activation, mask_cotangent, res, g):
     x, w1, b1, w2, b2 = res
     n, c, lb = x.shape
-    plan = _FusedPlan(geom, c, x.dtype.itemsize, halo=4)
+    itemsize = x.dtype.itemsize
+    plan = _FusedPlan(geom, c, itemsize, halo=4)
     wp, t = geom.Wp, plan.tile
-    r = 9 * c
     interp = _use_interpret()
     if mask_cotangent:
         g = body_mask(g, geom)
     g = g.astype(x.dtype)
+    scratch_bytes = ((3 * c * ((t + 6) * wp + 128)
+                      + 4 * c * _win(plan, t + 8)) * itemsize
+                     + 3 * c * (t * wp + 128) * 4
+                     + 2 * 3 * c * ((t + 6) * wp + 128) * 4)  # f32 z temps
+    nb = _fused_batch_block(n, plan, itemsize, 3, scratch_bytes)
     kernel = functools.partial(
-        _bwd_kernel, plan=plan, act_name=activation,
+        _bwd_kernel, plan=plan, act_name=activation, nb=nb,
         precision=_dot_precision(x.dtype),
     )
     mask = _mask_row(wp, geom.W, t + 6, plan.stride)
     dx, dw1s, dw2s, db1, db2 = pl.pallas_call(
         kernel,
-        grid=(n, plan.n_blk),
+        grid=(n // nb, plan.n_blk),
         in_specs=[
-            _x_spec(plan, c),
-            _x_spec(plan, c),
-            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            _x_spec(plan, c, nb),
+            _x_spec(plan, c, nb),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, bi: (0, 0)),
             pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
-            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, bi: (0, 0)),
             pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
-            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
-            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, bi: (0, 0)),
             pl.BlockSpec((1, (t + 6) * wp), lambda ni, bi: (0, 0)),
             pl.BlockSpec((1, (t + 6) * wp), lambda ni, bi: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((None, c, plan.stride), lambda ni, bi: (ni, 0, bi)),
-            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
-            pl.BlockSpec((r, c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((nb, c, plan.stride), lambda ni, bi: (ni, 0, bi)),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((3 * c, 3 * c), lambda ni, bi: (0, 0)),
             pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
             pl.BlockSpec((c, 1), lambda ni, bi: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, c, geom.LB), x.dtype),
-            jax.ShapeDtypeStruct((r, c), jnp.float32),
-            jax.ShapeDtypeStruct((r, c), jnp.float32),
+            jax.ShapeDtypeStruct((3 * c, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((3 * c, 3 * c), jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((r, (t + 6) * wp), x.dtype),
+            pltpu.VMEM((3 * c, (t + 6) * wp + 128), x.dtype),
             pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
             pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
             pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
             pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
+            pltpu.VMEM((3 * c, t * wp + 128), jnp.float32),
         ],
         interpret=interp,
-    )(x, g, _w_stack(w1, x.dtype), b1.reshape(-1, 1).astype(jnp.float32),
-      _w_stack(w2, x.dtype), b2.reshape(-1, 1).astype(jnp.float32),
-      _w_stack(_w_t(w1), x.dtype), _w_stack(_w_t(w2), x.dtype), mask,
+    )(x, g, _w_group(w1, x.dtype), b1.reshape(-1, 1).astype(jnp.float32),
+      _w_group(w2, x.dtype), b2.reshape(-1, 1).astype(jnp.float32),
+      _w_group(_w_t(w1), x.dtype), _w_group(_w_t(w2), x.dtype), mask,
       _row_idx(wp, t + 6))
-    dw1 = dw1s.reshape(3, 3, c, c).astype(w1.dtype)
-    dw2 = dw2s.reshape(3, 3, c, c).astype(w2.dtype)
+    # dw3 layout [ky*c+ci, kx*c+co] -> [ky, kx, ci, co]
+    dw1 = dw1s.reshape(3, c, 3, c).transpose(0, 2, 1, 3).astype(w1.dtype)
+    dw2 = dw2s.reshape(3, c, 3, c).transpose(0, 2, 1, 3).astype(w2.dtype)
     return (dx, dw1, db1.reshape(-1).astype(jnp.float32),
             dw2, db2.reshape(-1).astype(jnp.float32))
 
