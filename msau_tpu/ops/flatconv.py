@@ -150,7 +150,8 @@ def max_flat_cin(kh: int, kw: int, geom: FlatGeom, itemsize: int,
     valid = [t for t in range(1, geom.tile_h + 1)
              if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
     t_min = min(valid)
-    per_cin = kh * kw * t_min * geom.Wp * itemsize
+    # 3-row-tap scratch: [KH*Cin, tile*Wp] (kw does not multiply)
+    per_cin = kh * t_min * geom.Wp * itemsize
     return budget // per_cin
 
 
@@ -223,7 +224,9 @@ def _plan(geom: FlatGeom, dims: _ConvDims, cin: int, itemsize: int) -> _Plan:
     _check_dims(geom, dims)
     kh, kw, d, pt, pleft = dims
     r = kh * kw * cin
-    tile = _sub_tile(geom, r, itemsize)
+    # the 3-row-tap scratch is [KH*Cin, tile*Wp] — only KH row groups, not
+    # KH*KW taps — so the tile budget scales with kh*cin
+    tile = _sub_tile(geom, kh * cin, itemsize)
     stride = tile * geom.Wp
     g_blk = geom.tile_h // tile
     n_blk = geom.H // tile + 2 * g_blk
