@@ -93,12 +93,16 @@ class FlatConvOp(nn.Module):
     """Parameter-compatible stand-in for ``nn.Conv`` on body tensors.
 
     Instantiate with ``name='Conv_0'`` inside ConvBnLrnDrop-style modules so
-    the param tree matches the NHWC branch exactly.
+    the param tree matches the NHWC branch exactly.  ``act``/``lrn_size``
+    ride the conv kernel's fused epilogue (ops/flatconv.py) — the separate
+    XLA activation/LRN passes over the full body tensor disappear.
     """
 
     features: int
     kernel_size: Tuple[int, int]
     dilation: int = 1
+    act: Optional[str] = None
+    lrn_size: Optional[int] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -117,4 +121,5 @@ class FlatConvOp(nn.Module):
         return flat_conv2d(
             x_body.astype(dtype), kernel, bias, geom, dilation=self.dilation,
             mask_cotangent=False,  # model pipeline preserves the invariant
+            act=self.act, lrn_size=self.lrn_size,
         )

@@ -111,20 +111,19 @@ class ConvBnLrnDrop(nn.Module):
                  geom=None) -> jnp.ndarray:
         kh, kw = self.kernel_size
         if geom is not None:
-            # body-flat branch (x: [N, C, LB]); param tree matches nn.Conv
+            # body-flat branch (x: [N, C, LB]); param tree matches nn.Conv;
+            # activation + LRN fuse into the conv kernel's epilogue
+            # (flat_conv2d act/lrn_size — falls back to XLA ops for
+            # chunked or non-relu/elu cases)
             from msau_tpu.models.flat_layers import FlatConvOp
-            from msau_tpu.ops.flatconv import body_lrn
 
             assert not self.use_bn and self.strides == (1, 1)
             y = FlatConvOp(
                 features=self.features, kernel_size=self.kernel_size,
                 dtype=self.dtype, name="Conv_0",
+                act=self.activation,
+                lrn_size=self.features if self.use_lrn else None,
             )(x, geom)
-            act = get_activation(self.activation)
-            if act is not None:
-                y = act(y)
-            if self.use_lrn:
-                y = body_lrn(y, size=self.features)
             if self.keep_prob < 1.0:
                 y = nn.Dropout(rate=1.0 - self.keep_prob,
                                deterministic=not train)(y)
@@ -175,18 +174,14 @@ class DilConvBnLrnDrop(nn.Module):
         kh, kw = self.kernel_size
         if geom is not None:
             from msau_tpu.models.flat_layers import FlatConvOp
-            from msau_tpu.ops.flatconv import body_lrn
 
             assert not self.use_bn
             y = FlatConvOp(
                 features=self.features, kernel_size=self.kernel_size,
                 dilation=self.rate, dtype=self.dtype, name="Conv_0",
+                act=self.activation,
+                lrn_size=self.features if self.use_lrn else None,
             )(x, geom)
-            act = get_activation(self.activation)
-            if act is not None:
-                y = act(y)
-            if self.use_lrn:
-                y = body_lrn(y, size=self.features)
             if self.keep_prob < 1.0:
                 y = nn.Dropout(rate=1.0 - self.keep_prob,
                                deterministic=not train)(y)
@@ -265,7 +260,6 @@ class DeconvBnLrnDrop(nn.Module):
             # semantics of the torch ConvTranspose2d emulation below.
             from msau_tpu.ops.flatconv import (
                 _upsample_tiles,
-                body_lrn,
                 body_upsample2,
                 flat_conv2d,
                 flat_upsample2,
@@ -279,13 +273,11 @@ class DeconvBnLrnDrop(nn.Module):
                 up = flat_upsample2(x.astype(dtype), geom_in, geom_out)
             else:
                 up = body_upsample2(x.astype(dtype), geom_in, geom_out)
+            # act/LRN fuse into the conv epilogue (no-ops for the model's
+            # activation=None deconvs)
             y = flat_conv2d(up, kernel, bias, geom_out,
-                            mask_cotangent=False)
-            act = get_activation(self.activation)
-            if act is not None:
-                y = act(y)
-            if self.use_lrn:
-                y = body_lrn(y, size=self.features)
+                            mask_cotangent=False, act=self.activation,
+                            lrn_size=self.features if self.use_lrn else None)
             return y
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(

@@ -303,9 +303,51 @@ def _batch_block(n: int, in_bytes: int, out_bytes: int,
     return nb
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, xs_ref, *,
-                plan: _Plan, offs, dims: _ConvDims, cin: int, cout: int,
-                nb: int, precision):
+def _act_pair(name: Optional[str]):
+    """(act, dact-from-preactivation) for the fused epilogue."""
+    if name is None:
+        return None, None
+    if name == "relu":
+        return (lambda a: jnp.maximum(a, 0.0),
+                lambda a: (a > 0).astype(jnp.float32))
+    if name == "elu":
+        return (jax.nn.elu,
+                lambda a: jnp.where(a > 0, 1.0,
+                                    jnp.exp(jnp.minimum(a, 0.0))))
+    raise ValueError(f"unsupported fused activation: {name}")
+
+
+def _lrn_pow(t: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """t**-beta with a sqrt fast path for torch's default beta=0.75."""
+    if beta == 0.75:
+        return jax.lax.rsqrt(t * jnp.sqrt(t))
+    return jnp.exp(-beta * jnp.log(t))
+
+
+def _epilogue_fwd(acc, b_ref, M_ref, act_name, lrn):
+    """bias -> activation -> LRN on the f32 accumulator (pre-mask)."""
+    a = acc + b_ref[:]
+    act, _ = _act_pair(act_name)
+    y = act(a) if act is not None else a
+    if lrn is not None:
+        size, alpha, beta, k = lrn
+        win = jax.lax.dot_general(
+            M_ref[:], y * y, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # f32 operands: exact
+        )
+        y = y * _lrn_pow(k + (alpha / size) * win, beta)
+    return y
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, *rest, plan: _Plan, offs,
+                dims: _ConvDims, cin: int, cout: int, nb: int, precision,
+                act_name: Optional[str] = None, lrn=None):
+    if lrn is not None:
+        M_ref, o_ref, xs_ref = rest
+    else:
+        M_ref = None
+        o_ref, xs_ref = rest
     kh, kw, d = dims.kh, dims.kw, dims.d
     cw = plan.stride + (kw - 1) * d + 1
     bi = pl.program_id(1)
@@ -331,7 +373,7 @@ def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, o_ref, xs_ref, *,
             for kx in range(1, kw):
                 acc = acc + z[kx * cout:(kx + 1) * cout,
                               kx * d:kx * d + plan.stride]
-            acc = (acc + b_ref[:]) * m_ref[:]
+            acc = _epilogue_fwd(acc, b_ref, M_ref, act_name, lrn) * m_ref[:]
             o_ref[i, :, :] = acc.astype(o_ref.dtype)
 
 
@@ -383,6 +425,159 @@ def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, gs_ref, *, plan: _Plan, offs,
             )  # [KH*Cin, KW*Cout]
 
 
+def _epi_bwd_kernel(x_ref, g_ref, w_ref, b_ref, m_ref, *rest,
+                    plan: _Plan, offs, dims: _ConvDims, cin: int, cout: int,
+                    nb: int, precision, act_name: Optional[str], lrn):
+    """Cotangent transform for the fused epilogue, one pass.
+
+    Recomputes the conv forward (taps already in VMEM), maps the incoming
+    cotangent g (wrt the post-LRN/post-act output) back to g0 (wrt the
+    conv preactivation), and accumulates dw/db from the same tap stack —
+    so the backward of conv+act+LRN costs one windowed x read + one g
+    read + one g0 write (plus the dx conv), instead of the 4-6 full XLA
+    passes of the unfused LRN/act backward.
+
+    Sequential-grid ('arbitrary') semantics required: dw/db use
+    first-visit zero-init + `+=` like _dw_kernel — do NOT mark grid dims
+    parallel.
+    """
+    if lrn is not None:
+        M_ref, g0_ref, dw_ref, db_ref, xs_ref, gs_ref = rest
+    else:
+        M_ref = None
+        g0_ref, dw_ref, db_ref, xs_ref, gs_ref = rest
+    kh, kw, d = dims.kh, dims.kw, dims.d
+    cw = plan.stride + (kw - 1) * d + 1
+    ni = pl.program_id(0)
+    bi = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(ni == 0, bi == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    is_guard = jnp.logical_or(bi < plan.g_blk,
+                              bi >= plan.n_blk - plan.g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        g0_ref[:] = jnp.zeros_like(g0_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        # static zero bands of the shifted-g stack (see _dw_kernel)
+        for kx in range(kw):
+            lo, hi = kx * d, kx * d + plan.stride
+            if lo > 0:
+                gs_ref[kx * cout:(kx + 1) * cout, :lo] = jnp.zeros_like(
+                    gs_ref[kx * cout:(kx + 1) * cout, :lo])
+            if hi < cw:
+                gs_ref[kx * cout:(kx + 1) * cout, hi:cw] = jnp.zeros_like(
+                    gs_ref[kx * cout:(kx + 1) * cout, hi:cw])
+        act, dact = _act_pair(act_name)
+        for i in range(nb):
+            for ky, q in enumerate(offs):
+                xs_ref[ky * cin:(ky + 1) * cin, :cw] = (
+                    x_ref[i, :, q:q + cw])
+            z = jax.lax.dot_general(
+                w_ref[:], xs_ref[:, :cw], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            acc = z[0:cout, 0:plan.stride]
+            for kx in range(1, kw):
+                acc = acc + z[kx * cout:(kx + 1) * cout,
+                              kx * d:kx * d + plan.stride]
+            a = acc + b_ref[:]
+            g = g_ref[i].astype(jnp.float32)
+            if lrn is not None:
+                size, alpha, beta, k = lrn
+                s = alpha / size
+                y1 = act(a) if act is not None else a
+                win = jax.lax.dot_general(
+                    M_ref[:], y1 * y1, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                t = k + s * win
+                r = _lrn_pow(t, beta)  # t^-beta
+                # dL/dy1 = g*r - 2*beta*s * y1 * (M @ (g*y1*r/t))
+                u = g * y1 * (r / t)
+                mu = jax.lax.dot_general(
+                    M_ref[:], u, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                g1 = g * r - (2.0 * beta * s) * y1 * mu
+            else:
+                g1 = g
+            g0 = g1 * dact(a) if act is not None else g1
+            g0 = g0 * m_ref[:]
+            g0_ref[i, :, :] = g0.astype(g0_ref.dtype)
+            # dw/db from the already-loaded tap stack (see _dw_kernel)
+            g0c = g0.astype(gs_ref.dtype)
+            for kx in range(kw):
+                gs_ref[kx * cout:(kx + 1) * cout,
+                       kx * d:kx * d + plan.stride] = g0c
+            dw_ref[:] += jax.lax.dot_general(
+                xs_ref[:, :cw], gs_ref[:, :cw], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            db_ref[:] += jnp.sum(g0, axis=1, keepdims=True)
+
+
+def _epi_bwd_call(xb, g, w2, b, geom: FlatGeom, dims: _ConvDims,
+                  cout: int, act_name: Optional[str], lrn, interpret: bool):
+    """Stage-1 backward: returns (g0 body tensor, dw2 [KH*Cin, KW*Cout],
+    db [Cout])."""
+    n, cin, lb = xb.shape
+    kh, kw = dims.kh, dims.kw
+    itemsize = xb.dtype.itemsize
+    plan = _plan(geom, dims, cin, itemsize)
+    offs = _row_offsets(plan, geom, dims)
+    cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
+    nb = _batch_block(n, cin * plan.len_in * itemsize
+                      + cout * plan.stride * itemsize,
+                      cout * plan.stride * itemsize,
+                      (kh * cin + kw * cout) * cwp * itemsize
+                      + 2 * kw * cout * cwp * 4
+                      + (6 * cout * cwp * 4 if lrn else 0))
+    kernel = functools.partial(
+        _epi_bwd_kernel, plan=plan, offs=offs, dims=dims, cin=cin,
+        cout=cout, nb=nb, precision=_dot_precision(xb.dtype),
+        act_name=act_name, lrn=lrn,
+    )
+    in_specs = [
+        _x_spec(plan, geom, cin, nb),
+        pl.BlockSpec((nb, cout, plan.stride), lambda ni, bi: (ni, 0, bi)),
+        pl.BlockSpec((kh * cin, kw * cout), lambda ni, bi: (0, 0)),
+        pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
+        pl.BlockSpec((1, plan.stride), lambda ni, bi: (0, 0)),
+    ]
+    args = [xb, g, w2, b, _col_mask(plan, geom)]
+    if lrn is not None:
+        in_specs.append(pl.BlockSpec((cout, cout), lambda ni, bi: (0, 0)))
+        args.append(_lrn_matrix(cout, lrn[0]))
+    g0, dw2, db = pl.pallas_call(
+        kernel,
+        grid=(n // nb, plan.n_blk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((nb, cout, plan.stride), lambda ni, bi: (ni, 0, bi)),
+            pl.BlockSpec((kh * cin, kw * cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, cout, geom.LB), xb.dtype),
+            jax.ShapeDtypeStruct((kh * cin, kw * cout), jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((kh * cin, cwp), xb.dtype),
+                        pltpu.VMEM((kw * cout, cwp), xb.dtype)],
+        interpret=interpret,
+    )(*args)
+    return g0, dw2, db.reshape(-1)
+
+
 def _dot_precision(dtype) -> jax.lax.Precision:
     """bf16 operands: one exact MXU pass; f32: force the 3-pass algorithm.
 
@@ -399,10 +594,25 @@ def _col_mask(plan: _Plan, geom: FlatGeom) -> jnp.ndarray:
     return (col < geom.W).astype(jnp.float32).reshape(1, plan.stride)
 
 
+def _lrn_matrix(cout: int, size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """M[ci, co] = 1 iff ci lies in co's LRN window (torch clamping)."""
+    lo, hi = size // 2, (size - 1) // 2
+    ci = np.arange(cout)[:, None]
+    co = np.arange(cout)[None, :]
+    return jnp.asarray(((ci >= co - lo) & (ci <= co + hi)).astype(np.float32),
+                       dtype)
+
+
 def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
                geom: FlatGeom, dims: _ConvDims, cout: int,
-               out_dtype, interpret: bool) -> jnp.ndarray:
-    """Core pallas_call: body x [N, Cin, LB] -> body y [N, Cout, LB]."""
+               out_dtype, interpret: bool, act_name: Optional[str] = None,
+               lrn=None) -> jnp.ndarray:
+    """Core pallas_call: body x [N, Cin, LB] -> body y [N, Cout, LB].
+
+    ``act_name``/``lrn`` fuse the ConvBnLrnDrop epilogue (bias -> act ->
+    LRN, see models/layers.py) into the kernel: the separate XLA passes
+    re-reading and re-writing the full body tensor disappear.
+    """
     n, cin, lb = xb.shape
     assert lb == geom.LB, (xb.shape, geom)
     kh, kw = dims.kh, dims.kw
@@ -412,29 +622,36 @@ def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
     cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
     # stack budget: xs3 scratch + 2x the f32 z intermediate ([KW*Cout, cw])
     # the kernel materializes per image (the 4x4/17-out end conv OOM'd
-    # VMEM when this was uncounted)
+    # VMEM when this was uncounted) + the LRN win/sq temps
     nb = _batch_block(n, cin * plan.len_in * itemsize,
                       cout * plan.stride * itemsize,
-                      kh * cin * cwp * itemsize + 2 * kw * cout * cwp * 4)
+                      kh * cin * cwp * itemsize + 2 * kw * cout * cwp * 4
+                      + (4 * cout * cwp * 4 if lrn else 0))
     kernel = functools.partial(
         _fwd_kernel, plan=plan, offs=offs, dims=dims, cin=cin, cout=cout,
         nb=nb, precision=_dot_precision(xb.dtype),
+        act_name=act_name, lrn=lrn,
     )
+    in_specs = [
+        _x_spec(plan, geom, cin, nb),
+        pl.BlockSpec((kh * cin, kw * cout), lambda ni, bi: (0, 0)),
+        pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
+        pl.BlockSpec((1, plan.stride), lambda ni, bi: (0, 0)),
+    ]
+    args = [xb, w2, b, _col_mask(plan, geom)]
+    if lrn is not None:
+        in_specs.append(pl.BlockSpec((cout, cout), lambda ni, bi: (0, 0)))
+        args.append(_lrn_matrix(cout, lrn[0]))
     return pl.pallas_call(
         kernel,
         grid=(n // nb, plan.n_blk),
-        in_specs=[
-            _x_spec(plan, geom, cin, nb),
-            pl.BlockSpec((kh * cin, kw * cout), lambda ni, bi: (0, 0)),
-            pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
-            pl.BlockSpec((1, plan.stride), lambda ni, bi: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nb, cout, plan.stride),
                                lambda ni, bi: (ni, 0, bi)),
         out_shape=jax.ShapeDtypeStruct((n, cout, geom.LB), out_dtype),
         scratch_shapes=[pltpu.VMEM((kh * cin, cwp), xb.dtype)],
         interpret=interpret,
-    )(xb, w2, b, _col_mask(plan, geom))
+    )(*args)
 
 
 def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
@@ -490,30 +707,32 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
 )
 def _flat_conv_prim(xb, w, b, geom: FlatGeom, kh: int, kw: int,
                     dilation: int, pt: int, pleft: int, out_dtype_name: str,
-                    mask_cotangent: bool = True):
+                    mask_cotangent: bool = True,
+                    act: Optional[str] = None, lrn=None):
     dims = _ConvDims(kh, kw, dilation, pt, pleft)
     cout = w.shape[-1]
     out_dtype = jnp.dtype(out_dtype_name)
     return _conv_body(
         xb, _w_group(w, xb.dtype), b.reshape(-1, 1).astype(jnp.float32),
         geom, dims, cout, out_dtype, _use_interpret(),
+        act_name=act, lrn=lrn,
     )
 
 
 def _flat_conv_fwd(xb, w, b, geom, kh, kw, dilation, pt, pleft,
-                   out_dtype_name, mask_cotangent=True):
+                   out_dtype_name, mask_cotangent=True, act=None, lrn=None):
     y = _flat_conv_prim(xb, w, b, geom, kh, kw, dilation, pt, pleft,
-                        out_dtype_name, mask_cotangent)
-    return y, (xb, w)
+                        out_dtype_name, mask_cotangent, act, lrn)
+    return y, (xb, w, b)
 
 
 def _flat_conv_bwd(geom, kh, kw, dilation, pt, pleft, out_dtype_name,
-                   mask_cotangent, res, g):
-    xb, w = res
+                   mask_cotangent, act, lrn, res, g):
+    xb, w, b = res
     dims = _ConvDims(kh, kw, dilation, pt, pleft)
     cin, cout = w.shape[2], w.shape[3]
     interp = _use_interpret()
@@ -527,12 +746,26 @@ def _flat_conv_bwd(geom, kh, kw, dilation, pt, pleft, out_dtype_name,
     if mask_cotangent:
         g = body_mask(g, geom)
     g = g.astype(xb.dtype)
-    # dx: transposed conv of the cotangent
     dims_t = _ConvDims(kh, kw, dilation,
                        (kh - 1) * dilation - pt,
                        (kw - 1) * dilation - pleft)
     wt = _w_transposed(w)
     zero_b = jnp.zeros((cin,), jnp.float32)
+    if act is not None or lrn is not None:
+        # fused epilogue: one stage-1 kernel recomputes the conv, maps g
+        # back through LRN/act, and emits dw/db from the same tap stack;
+        # then dx is the usual transposed conv of the transformed g0.
+        g0, dw2, db = _epi_bwd_call(
+            xb, g, _w_group(w, xb.dtype),
+            b.reshape(-1, 1).astype(jnp.float32), geom, dims, cout,
+            act, lrn, interp,
+        )
+        dxb = _conv_body(g0, _w_group(wt, g0.dtype), zero_b.reshape(-1, 1),
+                         geom, dims_t, cin, xb.dtype, interp)
+        dw = dw2.reshape(kh, cin, kw, cout).transpose(0, 2, 1, 3).astype(
+            w.dtype)
+        return dxb, dw, db
+    # dx: transposed conv of the cotangent
     dxb = _conv_body(g, _w_group(wt, g.dtype), zero_b.reshape(-1, 1),
                      geom, dims_t, cin, xb.dtype, interp)
     # dw: one stacked matmul per tile, accumulated across the grid
@@ -556,6 +789,11 @@ def flat_conv2d(
     out_dtype=None,
     mask_cotangent: bool = True,
     vmem_budget: int = VMEM_XS_BUDGET,
+    act: Optional[str] = None,
+    lrn_size: Optional[int] = None,
+    lrn_alpha: float = 1e-4,
+    lrn_beta: float = 0.75,
+    lrn_k: float = 1.0,
 ) -> jnp.ndarray:
     """Stride-1 2-D conv on a body-flat tensor.
 
@@ -566,9 +804,17 @@ def flat_conv2d(
     ``mask_cotangent=False`` skips the defensive guard re-zeroing in the
     VJP — only safe when every downstream consumer preserves the body
     invariant (the model wiring does; see _flat_conv_bwd).
+
+    ``act`` ('relu'/'elu') and ``lrn_size`` fuse the ConvBnLrnDrop epilogue
+    (bias -> activation -> LocalResponseNorm, torch semantics) into the
+    conv kernel and its custom VJP — zero extra HBM passes in forward, one
+    recompute kernel in backward.  Falls back to XLA epilogue ops for
+    chunked wide-cin convs and unsupported activations.
     """
     kh, kw, cin, cout = w.shape
     assert x_body.shape[1] == cin, (x_body.shape, w.shape)
+    if act in ("none", "identity"):
+        act = None
     if padding == "SAME":
         pt = ((kh - 1) * dilation) // 2
         pleft = ((kw - 1) * dilation) // 2
@@ -578,6 +824,21 @@ def flat_conv2d(
         b = jnp.zeros((cout,), jnp.float32)
     out_dtype_name = jnp.dtype(out_dtype or x_body.dtype).name
     cmax = max_flat_cin(kh, kw, geom, x_body.dtype.itemsize, vmem_budget)
+    fusable = act in (None, "relu", "elu")
+    lrn = ((int(lrn_size), float(lrn_alpha), float(lrn_beta), float(lrn_k))
+           if (lrn_size and fusable) else None)
+    fuse = fusable and (act is not None or lrn is not None)
+
+    def _xla_epilogue(y):
+        # chunked / unsupported-act fallback: epilogue as plain XLA ops
+        if act is not None:
+            from msau_tpu.models.layers import get_activation
+
+            y = get_activation(act)(y)
+        if lrn_size:
+            y = body_lrn(y, lrn_size, lrn_alpha, lrn_beta, lrn_k)
+        return y
+
     if cin > cmax:
         # Wide-cin conv (e.g. the 64-channel chargrid entry conv): the tap
         # stack of the full conv blows VMEM, but the conv factorizes exactly
@@ -585,7 +846,8 @@ def flat_conv2d(
         # chunk is its own Pallas call, the (chunks-1) extra output-sized
         # read+add pairs are noise next to the lane-padding traffic the
         # NHWC fallback would pay.  Balanced chunk sizes keep every call on
-        # the same sub-tile.
+        # the same sub-tile.  The epilogue cannot fuse into a partial conv
+        # (it needs the full sum), so it runs as XLA ops here.
         if cmax < 1:
             raise ValueError(
                 f"flat conv infeasible even at cin=1 (cin={cin}, {geom})")
@@ -600,9 +862,14 @@ def flat_conv2d(
                 geom, kh, kw, dilation, int(pt), int(pleft),
                 out_dtype_name, bool(mask_cotangent))
             out = part if out is None else out + part
-        return out
-    return _flat_conv_prim(x_body, w, b, geom, kh, kw, dilation, int(pt),
-                           int(pleft), out_dtype_name, bool(mask_cotangent))
+        return _xla_epilogue(out)
+    y = _flat_conv_prim(
+        x_body, w, b, geom, kh, kw, dilation, int(pt), int(pleft),
+        out_dtype_name, bool(mask_cotangent),
+        act if fuse else None, lrn if fuse else None)
+    if not fuse:
+        return _xla_epilogue(y)
+    return y
 
 
 def flat_conv2d_reference(x_body, w, b, geom: FlatGeom, *, dilation=1,

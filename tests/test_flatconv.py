@@ -392,3 +392,80 @@ def test_flat_upsample2_matches_body_upsample2():
     # the kernel's VJP filters guard/pad cotangent junk by construction;
     # compare on the body (both grads are body tensors of real pixels)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=1e-5)
+
+
+EPI_CASES = [
+    # (act, lrn_size, cin, cout, kh, kw, d)
+    ("relu", 8, 16, 8, 1, 1, 1),     # couple-conv shape: 1x1 + relu
+    (None, 8, 8, 8, 3, 3, 1),        # dil-conv shape: LRN only
+    (None, 16, 8, 16, 3, 3, 2),      # dilated rate-2 + LRN
+    ("elu", None, 8, 8, 3, 3, 1),    # act only
+    ("relu", 8, 8, 8, 3, 3, 1),      # act + LRN
+]
+
+
+def _epi_oracle(xb, wk, b, geom, act, lrn_size, d):
+    """Unfused composition: oracle conv -> XLA act -> body_lrn."""
+    y = flat_conv2d_reference(xb, wk, b, geom, dilation=d)
+    if act == "relu":
+        y = jax.nn.relu(y)
+    elif act == "elu":
+        y = jax.nn.elu(y)
+    if lrn_size:
+        y = body_lrn(y, lrn_size)
+    from msau_tpu.ops.flatconv import body_mask
+
+    return body_mask(y, geom)
+
+
+@pytest.mark.parametrize("act,lrn,cin,cout,kh,kw,d", EPI_CASES)
+def test_fused_epilogue_matches_composition(act, lrn, cin, cout, kh, kw, d):
+    """conv+act+LRN fused into the kernel == the unfused composition,
+    forward and all three grads (the backward recomputes the conv and
+    routes the cotangent through the LRN/act chain in one kernel)."""
+    geom = choose_geom(32, 48)
+    xb = _mk(geom, cin, jax.random.PRNGKey(11))
+    wk = jax.random.normal(jax.random.PRNGKey(12), (kh, kw, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(13), (cout,)) * 0.1
+
+    got = flat_conv2d(xb, wk, b, geom, dilation=d, act=act, lrn_size=lrn)
+    ref = _epi_oracle(xb, wk, b, geom, act, lrn, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+    # body invariant: guards and pad columns exactly zero
+    from msau_tpu.ops.flatconv import body_mask
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(body_mask(got, geom)))
+
+    cw = jax.random.normal(jax.random.PRNGKey(14), (2, cout, geom.LB))
+
+    def f_fused(xb, wk, b):
+        return jnp.sum(
+            flat_conv2d(xb, wk, b, geom, dilation=d, act=act, lrn_size=lrn)
+            * cw)
+
+    def f_ref(xb, wk, b):
+        return jnp.sum(_epi_oracle(xb, wk, b, geom, act, lrn, d) * cw)
+
+    g_got = jax.grad(f_fused, argnums=(0, 1, 2))(xb, wk, b)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(xb, wk, b)
+    for got_g, ref_g, name in zip(g_got, g_ref, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(ref_g), rtol=4e-4, atol=4e-4,
+            err_msg=f"grad wrt {name} (act={act}, lrn={lrn})",
+        )
+
+
+def test_fused_epilogue_chunked_fallback():
+    """Wide-cin chunked convs apply the epilogue as XLA ops — same result."""
+    geom = choose_geom(32, 48)
+    cin, cout = 32, 8
+    budget = 3 * geom.tile_h * geom.Wp * 4 * 7  # force chunking (cmax 7)
+    xb = _mk(geom, cin, jax.random.PRNGKey(15))
+    wk = jax.random.normal(jax.random.PRNGKey(16), (3, 3, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(17), (cout,)) * 0.1
+    got = flat_conv2d(xb, wk, b, geom, vmem_budget=budget, act="relu",
+                      lrn_size=cout)
+    ref = _epi_oracle(xb, wk, b, geom, "relu", cout, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
