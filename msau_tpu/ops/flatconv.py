@@ -150,9 +150,11 @@ def max_flat_cin(kh: int, kw: int, geom: FlatGeom, itemsize: int,
     valid = [t for t in range(1, geom.tile_h + 1)
              if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
     t_min = min(valid)
-    # 3-row-tap scratch: [KH*Cin, tile*Wp] (kw does not multiply)
+    # 3-row-tap scratch: [KH*Cin, tile*Wp] (kw does not multiply).
+    # Same itemsize-scaled effective budget as _sub_tile, so a conv this
+    # admits always has a feasible sub-tile.
     per_cin = kh * t_min * geom.Wp * itemsize
-    return budget // per_cin
+    return (budget * 2 // itemsize) // per_cin
 
 
 def _sub_tile(geom: FlatGeom, r: int, itemsize: int,
@@ -168,6 +170,14 @@ def _sub_tile(geom: FlatGeom, r: int, itemsize: int,
     valid = [t for t in range(1, geom.tile_h + 1)
              if geom.tile_h % t == 0 and (t * geom.Wp) % 128 == 0]
     assert valid, geom  # t == tile_h always qualifies by FlatGeom invariant
+    # f32 inputs get half the tap budget: the kernels' f32 temporaries
+    # (z accumulators, epilogue intermediates) are the same bytes at any
+    # input dtype, so doubling the streamed/tap bytes leaves less scoped
+    # VMEM for them.  Calibrated on-chip: the f32 512^2 end-conv dx kernel
+    # exceeded the 16 MiB scoped limit by 0.6 MiB at tile 32 (Mosaic
+    # compile error), while every bf16 512^2 kernel fits; tile 16 fixes
+    # f32 with margin and bf16 tiles are unchanged.
+    budget = budget * 2 // itemsize
     fitting = [t for t in valid if r * t * geom.Wp * itemsize <= budget]
     return max(fitting) if fitting else min(valid)
 
@@ -220,13 +230,17 @@ class _Plan(NamedTuple):
     r: int             # kh*kw*cin
 
 
-def _plan(geom: FlatGeom, dims: _ConvDims, cin: int, itemsize: int) -> _Plan:
+def _plan(geom: FlatGeom, dims: _ConvDims, cin: int, itemsize: int,
+          tile: Optional[int] = None) -> _Plan:
     _check_dims(geom, dims)
     kh, kw, d, pt, pleft = dims
     r = kh * kw * cin
     # the 3-row-tap scratch is [KH*Cin, tile*Wp] — only KH row groups, not
-    # KH*KW taps — so the tile budget scales with kh*cin
-    tile = _sub_tile(geom, kh * cin, itemsize)
+    # KH*KW taps — so the tile budget scales with kh*cin.  Callers whose
+    # kernels hold more VMEM per row than the plain tap stack (the fused
+    # residual block) pass their own `tile`.
+    if tile is None:
+        tile = _sub_tile(geom, kh * cin, itemsize)
     stride = tile * geom.Wp
     g_blk = geom.tile_h // tile
     n_blk = geom.H // tile + 2 * g_blk
@@ -532,7 +546,10 @@ def _epi_bwd_call(xb, g, w2, b, geom: FlatGeom, dims: _ConvDims,
     n, cin, lb = xb.shape
     kh, kw = dims.kh, dims.kw
     itemsize = xb.dtype.itemsize
-    plan = _plan(geom, dims, cin, itemsize)
+    # same double-stack accounting as _dw_call: xs + gs scratch plus their
+    # materialized [:, :cw] dot-operand copies
+    plan = _plan(geom, dims, cin, itemsize,
+                 tile=_sub_tile(geom, 2 * (kh * cin + kw * cout), itemsize))
     offs = _row_offsets(plan, geom, dims)
     cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
     nb = _batch_block(n, cin * plan.len_in * itemsize
@@ -617,7 +634,11 @@ def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
     assert lb == geom.LB, (xb.shape, geom)
     kh, kw = dims.kh, dims.kw
     itemsize = xb.dtype.itemsize
-    plan = _plan(geom, dims, cin, itemsize)
+    # tile budget counts the z intermediate's KW*Cout rows next to the
+    # tap stack's KH*Cin: the wide-cout end conv (4x4, 17 out) holds a
+    # [KW*Cout, cw] f32 product per image that dwarfs its 8-row tap stack
+    plan = _plan(geom, dims, cin, itemsize,
+                 tile=_sub_tile(geom, kh * cin + kw * cout, itemsize))
     offs = _row_offsets(plan, geom, dims)
     cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
     # stack budget: xs3 scratch + 2x the f32 z intermediate ([KW*Cout, cw])
@@ -660,7 +681,13 @@ def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
     n = xb.shape[0]
     kh, kw = dims.kh, dims.kw
     itemsize = xb.dtype.itemsize
-    plan = _plan(geom, dims, cin, itemsize)
+    # the dw kernel holds TWO scratch stacks (xs: KH*Cin rows, gs: KW*Cout
+    # rows) and Mosaic materializes their [:, :cw] dot operands as copies,
+    # so the tile budget counts 2x both stacks — the planner's default
+    # (kh*cin only) admitted a tile whose end-conv dw kernel measured
+    # 16.80M scoped VMEM at f32 512^2 (limit 16M)
+    plan = _plan(geom, dims, cin, itemsize,
+                 tile=_sub_tile(geom, 2 * (kh * cin + kw * cout), itemsize))
     offs = _row_offsets(plan, geom, dims)
     cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
     nb = _batch_block(n, cin * plan.len_in * itemsize,

@@ -62,6 +62,36 @@ def _row_idx(wp: int, n_rows: int) -> jnp.ndarray:
     )
 
 
+# Live f32 rows (per channel) of kernel-internal temporaries: the z
+# accumulator pairs of _conv_into plus the act/where/cast intermediates
+# are f32 at EVERY input dtype, so the tile choice cannot scale with
+# itemsize alone.  Calibrated against measured Mosaic scoped-vmem
+# outcomes: bf16@512^2 fits at tile 32 (the flagship path — must not
+# flip), while f32@512^2 and bf16@1024^2 at tile 32 exceed the 16 MiB
+# scoped limit (21.4 MiB measured for the former) and must drop to 16.
+_F32_TEMP_ROWS = 6
+
+
+def _fused_tile(geom: FlatGeom, c: int, itemsize: int) -> int:
+    """Row block shared by the fwd and bwd fused kernels.
+
+    Cost per candidate tile = the bwd 9-row tap stack (9*C rows at the
+    input itemsize) + the dtype-independent f32 temporaries
+    (_F32_TEMP_ROWS*C rows at 4 bytes); largest aligned divisor of
+    tile_h whose cost fits VMEM_XS_BUDGET.  Using the bwd stack for both
+    plans keeps their block partitions identical by construction.
+    """
+    from msau_tpu.ops.flatconv import VMEM_XS_BUDGET
+
+    wp = geom.Wp
+    valid = [t for t in range(1, geom.tile_h + 1)
+             if geom.tile_h % t == 0 and (t * wp) % 128 == 0]
+    cost = lambda t: (9 * c * t * wp * itemsize
+                      + _F32_TEMP_ROWS * c * t * wp * 4)
+    fitting = [t for t in valid if cost(t) <= VMEM_XS_BUDGET]
+    return max(fitting) if fitting else min(valid)
+
+
 class _FusedPlan:
     """Static geometry for the fused kernels (3x3, d=1, halo 2 per conv)."""
 
@@ -69,7 +99,8 @@ class _FusedPlan:
         # reuse _plan with the effective chained kernel to get the window
         eff = 2 * halo + 1
         dims = _ConvDims(eff, eff, 1, halo, halo)
-        p = _plan(geom, dims, cin, itemsize)
+        p = _plan(geom, dims, cin, itemsize,
+                  tile=_fused_tile(geom, cin, itemsize))
         self.geom = geom
         self.c = cin
         self.tile = p.tile
@@ -361,12 +392,30 @@ def _mk_plans(geom: FlatGeom, c: int, itemsize: int):
     return fwd, bwd
 
 
+# Mosaic scoped-VMEM ceiling for the bwd kernel, expressed as a bound on
+# c*(t+8)*Wp (the row-elements its f32 temporaries scale with).  Analytic
+# stacking of the declared scratch + streamed windows underpredicts the
+# measured scoped size ~3x (Mosaic materializes the per-op intermediates
+# of the recompute chain), so the gate is calibrated on measured compiles:
+#   bf16 512^2 t=32 (c*(t+8)*Wp = 165,120) compiles         -> admit
+#   bf16 1024^2 t=32 (330,240) OOMs (>16M scoped)           -> reject
+#   f32  512^2 t=16 (99,840) measures 17.19M, t=32 21.4M    -> f32 never
+# f32 inputs OOM even at the *smallest* valid tile while a larger bf16
+# case fits, so dtype gates first; the row-element bound then rejects the
+# oversized bf16 geometries.  Rejected shapes fall back to two flat_conv2d
+# calls in MultiConvResidualBlock (models/layers.py) — correct, just not
+# single-kernel.
+_BWD_ROW_ELEMS_BOUND = 208_000
+
+
 def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
                         res_depth: int, activation: str,
                         itemsize: int = 2,
                         vmem_budget: int = 12 * 2**20) -> bool:
     if filter_size != 3 or res_depth != 2 or activation not in ("relu", "elu"):
         return False
+    if itemsize != 2 and not _use_interpret():
+        return False  # see _BWD_ROW_ELEMS_BOUND: f32 OOMs at every tile
     try:
         dims = _ConvDims(9, 9, 1, 4, 4)  # bwd effective window
         from msau_tpu.ops.flatconv import _check_dims
@@ -375,15 +424,9 @@ def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
         fwd, bwd = _mk_plans(geom, c, itemsize)
     except (AssertionError, ValueError):
         return False
-    # actual bwd scratch: 3-row stack + f32 g-stack + 4 guarded row
-    # buffers + 2 streamed windows
-    wp = geom.Wp
-    t = bwd.tile
-    scratch = ((3 * c * (t + 6) * wp
-                + 4 * c * ((t + 8) * wp + 128)
-                + 2 * 2 * c * bwd.len_in) * itemsize
-               + 3 * c * (t * wp + 128) * 4)
-    return scratch <= vmem_budget
+    if _use_interpret():
+        return True  # CPU interpret mode has no scoped-VMEM limit
+    return c * (bwd.tile + 8) * geom.Wp <= _BWD_ROW_ELEMS_BOUND
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

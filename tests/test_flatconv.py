@@ -86,7 +86,9 @@ def test_wide_cin_chunked_matches_oracle():
 
     geom = choose_geom(32, 48)
     cin, cout = 32, 8
-    budget = 3 * geom.tile_h * geom.Wp * 4 * 7  # cmax == 7 -> 5 uneven chunks
+    # effective budget is halved at itemsize=4 (f32 temporaries take the
+    # other half — see _sub_tile), so double the nominal budget for cmax==7
+    budget = 3 * geom.tile_h * geom.Wp * 4 * 7 * 2  # cmax == 7 -> 5 chunks
     assert max_flat_cin(3, 3, geom, 4, budget) == 7
     xb = _mk(geom, cin, jax.random.PRNGKey(7))
     wk = jax.random.normal(jax.random.PRNGKey(8), (3, 3, cin, cout)) * 0.3
