@@ -58,3 +58,28 @@ def test_fused_grads_match_composition(h, w, c, act):
             np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3,
             err_msg=f"grad wrt {name}",
         )
+
+
+def test_fused_gate_calibration(monkeypatch):
+    """The fused-kernel gate tracks the on-chip scoped-VMEM measurements.
+
+    Measured Mosaic compile outcomes (v5e, jax 0.9): bf16@512^2 fits at
+    tile 32; f32@512^2 OOMs at every valid tile (17.19M scoped at t=16);
+    bf16@1024^2 OOMs at t=32 but its geometry admits t=16.  Rejected
+    shapes must fall back to the two-conv path, so the gate returning
+    False is load-bearing, not an optimization detail.
+    """
+    import msau_tpu.ops.flatres as fr
+    from msau_tpu.ops.flatconv import choose_geom
+
+    monkeypatch.setattr(fr, "_use_interpret", lambda: False)
+    g_bf16_512 = choose_geom(512, 512, itemsize=2, max_cin=17)
+    g_f32_512 = choose_geom(512, 512, itemsize=4, max_cin=17)
+    g_bf16_1024 = choose_geom(1024, 1024, itemsize=2, max_cin=17)
+    assert fr.fused_res_supported(g_bf16_512, 8, 3, 2, "relu", 2)
+    assert not fr.fused_res_supported(g_f32_512, 8, 3, 2, "relu", 4)
+    # 1024^2 bf16 is admitted only because its geometry (P=4) allows the
+    # 16-row tile; the t=32-only P=2 geometry would be rejected
+    assert fr.fused_res_supported(g_bf16_1024, 8, 3, 2, "relu", 2)
+    bwd = fr._FusedPlan(g_bf16_1024, 8, 2, halo=4)
+    assert bwd.tile == 16
