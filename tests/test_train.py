@@ -118,7 +118,10 @@ class TestTrainStep:
         trainer.init_state(batch["input"])
         state, _ = trainer.train_step(trainer.state, trainer.put_batch(batch))
         trainer.state = state
-        trainer.save(str(tmp_path / "ckpt1"))
+        # wait=True: trainer2 restores via its OWN checkpointer, whose
+        # wait_until_finished can't see trainer1's pending async write —
+        # cross-instance readers need the writer to be durable first.
+        trainer.save(str(tmp_path / "ckpt1"), wait=True)
         want = jax.tree_util.tree_leaves(trainer.state.params)
         step_want = int(trainer.state.step)
 
