@@ -301,17 +301,25 @@ def _x_spec(plan: _Plan, geom: FlatGeom, cin: int, nb: int):
 
 
 def _batch_block(n: int, in_bytes: int, out_bytes: int,
-                 stack_bytes: int) -> int:
+                 stack_bytes: int, per_img_bytes: int = 0) -> int:
     """Images per grid step: the grid (n, n_blk) runs tiny blocks whose
     per-step fixed cost (DMA issue, semaphores) dominates at feat_root-
     sized channels (~5 us/step vs ~2 us of work at 512^2 cin=8) — so
     process the largest divisor of n whose double-buffered windows plus
     the shared tap stack stay inside a 12 MiB working set.
+
+    ``per_img_bytes`` counts kernel temporaries Mosaic keeps alive per
+    unrolled image iteration instead of reusing (the f32 path: each
+    HIGHEST/X3 dot holds its own f32 product plus bf16 hi/lo operand
+    splits — measured: the plain f32 cin=16 512^2 fwd conv compiled at
+    18.57M scoped VMEM with nb=8 while the matching bf16 kernel fits).
+    bf16 callers pass 0 and keep their on-chip-calibrated nb choices.
     """
     budget = 12 * 2**20
     nb = 1
     for cand in (8, 4, 2):
-        if n % cand == 0 and cand * (in_bytes + out_bytes) * 2 + stack_bytes <= budget:
+        if n % cand == 0 and (cand * (in_bytes + out_bytes) * 2 + stack_bytes
+                              + cand * per_img_bytes) <= budget:
             nb = cand
             break
     return nb
@@ -552,12 +560,15 @@ def _epi_bwd_call(xb, g, w2, b, geom: FlatGeom, dims: _ConvDims,
                  tile=_sub_tile(geom, 2 * (kh * cin + kw * cout), itemsize))
     offs = _row_offsets(plan, geom, dims)
     cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
+    epi_bytes = (2 * kw * cout * cwp * 4
+                 + (6 * cout * cwp * 4 if lrn else 0))
     nb = _batch_block(n, cin * plan.len_in * itemsize
                       + cout * plan.stride * itemsize,
                       cout * plan.stride * itemsize,
                       (kh * cin + kw * cout) * cwp * itemsize
-                      + 2 * kw * cout * cwp * 4
-                      + (6 * cout * cwp * 4 if lrn else 0))
+                      + (0 if itemsize == 4 else epi_bytes),
+                      epi_bytes + (kh * cin + kw * cout) * cwp * 4
+                      if itemsize == 4 else 0)
     kernel = functools.partial(
         _epi_bwd_kernel, plan=plan, offs=offs, dims=dims, cin=cin,
         cout=cout, nb=nb, precision=_dot_precision(xb.dtype),
@@ -643,11 +654,20 @@ def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
     cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
     # stack budget: xs3 scratch + 2x the f32 z intermediate ([KW*Cout, cw])
     # the kernel materializes per image (the 4x4/17-out end conv OOM'd
-    # VMEM when this was uncounted) + the LRN win/sq temps
-    nb = _batch_block(n, cin * plan.len_in * itemsize,
-                      cout * plan.stride * itemsize,
-                      kh * cin * cwp * itemsize + 2 * kw * cout * cwp * 4
-                      + (4 * cout * cwp * 4 if lrn else 0))
+    # VMEM when this was uncounted) + the LRN win/sq temps.  At f32 the
+    # z/epilogue temps and the X3 operand splits are NOT reused across the
+    # unrolled image loop — count them per image (see _batch_block).
+    z_bytes = (2 * kw * cout * cwp * 4
+               + (4 * cout * cwp * 4 if lrn else 0))
+    if itemsize == 4:
+        nb = _batch_block(n, cin * plan.len_in * itemsize,
+                          cout * plan.stride * itemsize,
+                          kh * cin * cwp * itemsize,
+                          z_bytes + kh * cin * cwp * 4)
+    else:
+        nb = _batch_block(n, cin * plan.len_in * itemsize,
+                          cout * plan.stride * itemsize,
+                          kh * cin * cwp * itemsize + z_bytes)
     kernel = functools.partial(
         _fwd_kernel, plan=plan, offs=offs, dims=dims, cin=cin, cout=cout,
         nb=nb, precision=_dot_precision(xb.dtype),
@@ -690,9 +710,13 @@ def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
                  tile=_sub_tile(geom, 2 * (kh * cin + kw * cout), itemsize))
     offs = _row_offsets(plan, geom, dims)
     cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
+    # f32: the X3 dot's per-iteration operand splits aren't reused across
+    # the unrolled image loop (see _batch_block)
     nb = _batch_block(n, cin * plan.len_in * itemsize,
                       cout * plan.stride * itemsize,
-                      (kh * cin + kw * cout) * cwp * itemsize)
+                      (kh * cin + kw * cout) * cwp * itemsize,
+                      (kh * cin + kw * cout) * cwp * 4
+                      if itemsize == 4 else 0)
     kernel = functools.partial(
         _dw_kernel, plan=plan, offs=offs, dims=dims, cin=cin, cout=cout,
         nb=nb, precision=_dot_precision(xb.dtype),
@@ -854,7 +878,15 @@ def flat_conv2d(
     fusable = act in (None, "relu", "elu")
     lrn = ((int(lrn_size), float(lrn_alpha), float(lrn_beta), float(lrn_k))
            if (lrn_size and fusable) else None)
-    fuse = fusable and (act is not None or lrn is not None)
+    # On TPU the fused epilogue is bf16-only, like the fused res block:
+    # at f32 the kernel's per-image f32 temporaries plus the HIGHEST-
+    # precision (3-pass) dot operand splits exceed the 16 MiB scoped-VMEM
+    # limit (measured on-chip: the 512^2 f32 cin=16 act+LRN conv compiled
+    # at 18.57M scoped, Mosaic compile error).  f32 paths take the XLA
+    # epilogue below — the calibrated round-2 behavior.  Interpret mode
+    # (CPU tests) has no scoped-VMEM limit and keeps f32 kernel coverage.
+    fuse = (fusable and (act is not None or lrn is not None)
+            and (x_body.dtype.itemsize == 2 or _use_interpret()))
 
     def _xla_epilogue(y):
         # chunked / unsupported-act fallback: epilogue as plain XLA ops
