@@ -120,20 +120,16 @@ def main():
     # rasterization, inference/kv_model.py:264-278; VERDICT r2 weak #2).
     p50_ms = None
     if not quick:
-        import dataclasses
-
         from msau_tpu.data.charset import Charset
         from msau_tpu.data.pages import page_from_label_dict
         from msau_tpu.data.synth import BENCH_CHARSET, make_page
         from msau_tpu.infer.kv_model import KVModel
 
-        # serving at bs=1 is latency-bound, where the flat-layout kernels'
-        # per-block overhead loses to XLA (measured 160 vs 102 ms p50);
-        # param trees are layout-independent, so serve through the NHWC
-        # graph with the same (bench-trained) state
-        kv = KVModel(
-            model_config=dataclasses.replace(cfg, flat_scales=0),
-        )
+        # serve through the flat layout too: the round-3 flat kernels win
+        # at every batch size incl. bs=1 (512^2 fwd: flat 8.3 ms vs NHWC
+        # 17.8; scripts/bench_batch_crossover.py); params are
+        # layout-independent, so reuse the bench-trained state directly
+        kv = KVModel(model_config=cfg)
         kv.charset = Charset(chars=" $" + BENCH_CHARSET)  # n_token = 64
         assert kv.charset.n_token == cfg.img_channels
         kv.model = build_model(kv.model_config)

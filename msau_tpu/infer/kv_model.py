@@ -104,14 +104,11 @@ class KVModel:
             self.model_config = ModelConfig(
                 img_channels=self.charset.n_token, n_class=self.n_class
             )
-        if getattr(self.model_config, "flat_scales", 0):
-            # serving is latency-bound at batch 1, where the flat-layout
-            # Pallas kernels are per-block-overhead-bound and lose to XLA
-            # (160 vs 102 ms p50 at 512^2); param trees are identical
-            # across layouts, so serve through the NHWC graph.
-            self.model_config = dataclasses.replace(
-                self.model_config, flat_scales=0
-            )
+        # Serving keeps the configured layout: the round-3 flat kernels
+        # (3-row-tap factorization + fused epilogues) win at every batch
+        # size, bs=1 included (512^2 fwd: flat 8.3 ms vs NHWC 17.8;
+        # scripts/bench_batch_crossover.py) — the round-2 "NHWC at bs=1"
+        # rule is obsolete.  Param trees are identical across layouts.
         self.model = build_model(self.model_config)
         self._apply = None
         self._serve = None
