@@ -125,6 +125,18 @@ def main():
         from msau_tpu.data.synth import BENCH_CHARSET, make_page
         from msau_tpu.infer.kv_model import KVModel
 
+        # Serve with a TRAINED net, the deployment scenario: a 12-step
+        # net's argmax map is maze-like noise, which (a) drives the CCL
+        # fixpoint toward its sweep cap and (b) marks every class active
+        # on all ~700 lines, turning the reference's O(n^2) reading-order
+        # scan into ~100 ms of host work.  Neither happens with converged
+        # weights (fields are sparse blobs over 1-3 lines), so the p50
+        # below would otherwise measure an artifact, not serving.
+        # ~190 extra steps cost ~30 s of bench wall time.
+        for _ in range(188):
+            state, metrics = step(state, batch)
+        _ = float(metrics["loss"])
+
         # serve through the flat layout too: the round-3 flat kernels win
         # at every batch size incl. bs=1 (512^2 fwd: flat 8.3 ms vs NHWC
         # 17.8; scripts/bench_batch_crossover.py); params are

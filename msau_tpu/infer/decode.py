@@ -384,6 +384,11 @@ def extract_values(
             continue
         line_used += comp_per_line[c]
 
+    # 1-based position of each line record, for Line objects without an
+    # id — a per-line ``scaled_lines.index`` is quadratic and cost ~125 ms
+    # on a dense 686-line page with 10 active classes
+    pos_of = {id(line): i + 1 for i, line in enumerate(scaled_lines)}
+
     for c in range(2, n_class):
         if not active[c]:
             continue
@@ -396,7 +401,7 @@ def extract_values(
         for line in lines:
             lid = getattr(line, "id", None)
             if lid is None or lid < 0:
-                lid = scaled_lines.index(line) + 1
+                lid = pos_of[id(line)]
             line_boxes.append(list(line.box))
             text = line.text
             if line_used[lid] <= 1:

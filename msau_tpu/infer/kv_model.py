@@ -201,9 +201,20 @@ class KVModel:
             max_iters = self.cfg.max_ccl_iters
 
             @functools.partial(
-                jax.jit, static_argnames=("hb", "wb", "num_lines")
+                jax.jit,
+                static_argnames=("hb", "wb", "num_lines", "cap", "lcap"),
             )
-            def fn(params, cb, cv, lb, lv, db, dv, *, hb, wb, num_lines):
+            def fn(params, buf, *, hb, wb, num_lines, cap, lcap):
+                # the six box-program arrays arrive as ONE int32 buffer —
+                # on the tunneled backend every host->device transfer is a
+                # round trip, and six uploads cost ~20 ms of the p50
+                o = 0
+                cb = buf[o:o + cap * 4].reshape(cap, 4); o += cap * 4
+                cv = buf[o:o + cap]; o += cap
+                lb = buf[o:o + lcap * 4].reshape(lcap, 4); o += lcap * 4
+                lv = buf[o:o + lcap]; o += lcap
+                db = buf[o:o + lcap * 4].reshape(lcap, 4); o += lcap * 4
+                dv = buf[o:o + lcap]
                 ids = paint_boxes(cb, cv, hb, wb)
                 line_id = paint_boxes(lb, lv, hb, wb)
                 char_id = paint_boxes(db, dv, hb, wb)
@@ -244,10 +255,12 @@ class KVModel:
 
         # one fused device program (paint -> forward -> decode; the final
         # activation is decoded, matching reference predict kv_model.py:305)
-        # and ONE packed device->host fetch
+        # fed by ONE packed upload, answered by ONE packed fetch
+        cap, lcap = arrays[1].shape[0], arrays[3].shape[0]
+        buf = np.concatenate([np.asarray(a).ravel() for a in arrays])
         packed, pred, chosen = self._serve_fn()(
-            self.params, *(jnp.asarray(a) for a in arrays),
-            hb=hb, wb=wb, num_lines=num_lines,
+            self.params, jnp.asarray(buf),
+            hb=hb, wb=wb, num_lines=num_lines, cap=cap, lcap=lcap,
         )
         host = unpack_decode_out(np.asarray(packed), self.n_class, 8, num_lines)
         values = extract_values(host, scaled_lines, self.schema)

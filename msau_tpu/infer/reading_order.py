@@ -24,22 +24,26 @@ def sort_box_reading_order(items: Sequence[T], box_fn: Callable = _default_box) 
     boxes = list(items)
     if len(boxes) == 0:
         return boxes
+    # geometry cached once: the selection scan below evaluates O(n^2)
+    # comparisons, and box_fn per comparison dominated dense pages
+    geo = [box_fn(b) for b in boxes]
+    cxy = [((g[0] + g[2]) / 2, (g[1] + g[3]) / 2) for g in geo]
+    idxs = list(range(len(boxes)))
     out: List[T] = []
-    while len(boxes) > 1:
-        top = boxes[0]
-        for cand in boxes[1:]:
-            tx1, ty1, tx2, ty2 = box_fn(top)
-            tcx, tcy = (tx1 + tx2) / 2, (ty1 + ty2) / 2
-            x1, y1, x2, y2 = box_fn(cand)
-            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
-            cell_h = y2 - y1
+    while len(idxs) > 1:
+        ti = idxs[0]
+        for ci in idxs[1:]:
+            tcy = cxy[ti][1]
+            tx2, ty2 = geo[ti][2], geo[ti][3]
+            cx, cy = cxy[ci]
+            cell_h = geo[ci][3] - geo[ci][1]
             if cy <= tcy - cell_h / 2:
-                top = cand
+                ti = ci
                 continue
             if cx < tx2 and cy < ty2:
-                top = cand
+                ti = ci
                 continue
-        out.append(top)
-        boxes.remove(top)
-    out.append(boxes[0])
+        out.append(boxes[ti])
+        idxs.remove(ti)
+    out.append(boxes[idxs[0]])
     return out

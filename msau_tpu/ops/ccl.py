@@ -8,6 +8,11 @@ with an iterative min-label propagation that runs entirely on device:
   *segmented* min-scans (associative_scan with background barriers) — one
   sweep moves labels across an entire run, so convergence takes
   O(geodesic turns) sweeps (1-3 for text blobs), not O(diameter);
+* every 4th sweep takes a pointer-jumping hop (``_pointer_jump``): a
+  label is the linear index of a same-component pixel, so chasing it
+  squares the reach — maze-like maps (argmax of an untrained net)
+  converge in ~log(turns) iterations instead of hitting the sweep cap,
+  while ordinary maps never pay the gather;
 * a bounded while_loop stops at fixpoint.
 
 The converged label of a component is the linear index + 1 of its
@@ -53,6 +58,44 @@ def _sweep(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(fg, vals, 0)
 
 
+def _pointer_jump(labels: jnp.ndarray, fg: jnp.ndarray, hops: int = 1) -> jnp.ndarray:
+    """Path-compression hops: ``label[p] <- min(label[p], label[label[p]-1])``.
+
+    A label value is always (linear index + 1) of a pixel in the SAME
+    component, so chasing it lands on another pixel of that component and
+    taking the min preserves the invariant.  Scan sweeps alone converge in
+    O(geodesic turns) — hundreds on maze-like argmax maps from an
+    untrained net; interleaving jumps squares the reach, making the
+    fixpoint logarithmic in the turn count.  The gather costs ~3.6 ms at
+    512^2 (TPU gathers serialize), so callers only take it every few
+    sweeps — text-blob maps (1-3 sweeps) never pay it, and a sweep
+    fixpoint is already a global fixpoint, so skipping jumps never
+    changes the result.
+    """
+    flat_shape = labels.shape[0] * labels.shape[1]
+    for _ in range(hops):
+        flat = labels.reshape(flat_shape)
+        tgt = jnp.take(flat, jnp.maximum(labels - 1, 0).reshape(flat_shape),
+                       mode="clip").reshape(labels.shape)
+        labels = jnp.where(fg, jnp.minimum(labels, tgt), 0)
+    return labels
+
+
+_JUMP_PERIOD = 4  # pointer-jump every 4th sweep (zero cost for <=3-sweep
+                  # maps; measured on a trained-argmax 512^2 maze map,
+                  # jumping every sweep is a net LOSS — the 3.6 ms gather
+                  # outweighs the sweeps it saves — so period 4 stays)
+
+
+def _maybe_jump(labels: jnp.ndarray, fg: jnp.ndarray, it) -> jnp.ndarray:
+    return lax.cond(
+        (it % _JUMP_PERIOD) == _JUMP_PERIOD - 1,
+        lambda l: _pointer_jump(l, fg),
+        lambda l: l,
+        labels,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters",))
 def connected_components_jax(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
     """4-connected components of a boolean [H, W] mask.
@@ -75,7 +118,7 @@ def connected_components_jax(mask: jnp.ndarray, max_iters: int = 64) -> jnp.ndar
 
     def body(state):
         labels, _, it = state
-        new = _sweep(labels, fg)
+        new = _maybe_jump(_sweep(labels, fg), fg, it)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.asarray(True), 0))
@@ -139,7 +182,7 @@ def connected_components_multiclass(
 
     def body(state):
         labels, _, it = state
-        new = _sweep_multiclass(labels, cls)
+        new = _maybe_jump(_sweep_multiclass(labels, cls), fg, it)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = lax.while_loop(cond, body, (labels0, jnp.asarray(True), 0))

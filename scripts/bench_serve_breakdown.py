@@ -133,12 +133,15 @@ def main():
     )
     print(f"+decode            {ms_dec:7.2f} ms   (decode ~{ms_dec - ms_fwd:.2f})")
 
-    # --- the real fused program incl. the packed fetch
+    # --- the real fused program incl. the packed upload + fetch
     serve = kv._serve_fn()
+    cap, lcap = arrays[1].shape[0], arrays[3].shape[0]
+    host_buf = np.concatenate([np.asarray(a).ravel() for a in arrays])
 
     def fused():
         packed, _, _ = serve(
-            kv.params, *dev_arrays, hb=hb, wb=wb, num_lines=num_lines
+            kv.params, jnp.asarray(host_buf), hb=hb, wb=wb,
+            num_lines=num_lines, cap=cap, lcap=lcap,
         )
         return np.asarray(packed)
 

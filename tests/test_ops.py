@@ -86,6 +86,36 @@ class TestCCL:
         self._check_equivalent(np.zeros((8, 8), bool))
         self._check_equivalent(np.ones((8, 8), bool))
 
+    def test_dense_spiral_converges_within_log_iters(self):
+        """A full-size boustrophedon snake has O(H) geodesic turns — scan
+        sweeps alone would blow past any reasonable cap; the periodic
+        pointer jump must still reach the exact scipy fixpoint within the
+        default max_iters."""
+        h = w = 96
+        mask = np.ones((h, w), bool)
+        # serpentine walls: every other row is cut on alternating sides,
+        # leaving ONE snake component with ~h/2 turns
+        for r in range(1, h, 2):
+            if (r // 2) % 2 == 0:
+                mask[r, : w - 1] = False
+            else:
+                mask[r, 1:] = False
+        self._check_equivalent(mask)
+
+    def test_multiclass_maze_converges(self, rng):
+        """Maze-like multiclass map (untrained-argmax worst case): exact
+        scipy partition per class within default max_iters."""
+        from msau_tpu.ops.ccl import connected_components_multiclass
+
+        cls = rng.integers(0, 3, (96, 96)).astype(np.int32)
+        got = np.asarray(connected_components_multiclass(jnp.asarray(cls)))
+        for c in (1, 2):
+            m = cls == c
+            want, n = scipy_ndimage.label(m)
+            pairs = set(zip(got[m].tolist(), want[m].tolist()))
+            assert len(pairs) == n
+            assert len({g for g, _ in pairs}) == n
+
     def test_multiclass_matches_per_class_scipy(self, rng):
         """One shared labeling == per-class scipy labelings (partitions and
         raster-first root convention)."""
