@@ -64,6 +64,10 @@ def main():
         make_train_step(model, optimizer, masked=True, donate=False)
     ).lower(state, batch)
     compiled = lowered.compile()
+    if "--hlo" in sys.argv:
+        with open("/tmp/flagship_hlo.txt", "w") as f:
+            f.write(compiled.as_text())
+        print("HLO dumped to /tmp/flagship_hlo.txt")
     try:
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
