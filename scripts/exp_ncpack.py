@@ -51,7 +51,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-    from msau_tpu.ops.flatconv import FlatGeom, choose_geom, to_body, flat_conv2d
+    from msau_tpu.ops.flatconv import choose_geom, to_body, flat_conv2d
 
     W = HW
     G = W + 8
@@ -82,7 +82,9 @@ def main():
     for i in range(N):
         eye[i * CIN: (i + 1) * CIN, i] = np.eye(CIN)
     eyej = jnp.asarray(eye)  # [128, N, CIN]
-    wt = jnp.einsum("lnc,kco->lnko", eyej,
+    # tap-major axes [lane, tap, image, cout] so the reshape's trailing
+    # (image, cout) pair flattens to the intended n*Cout column index
+    wt = jnp.einsum("lnc,kco->lkno", eyej,
                     w.reshape(9, CIN, COUT).astype(jnp.float32))
     w_pack = wt.reshape(N * CIN, 9, N * COUT).transpose(1, 0, 2).reshape(
         9 * N * CIN, N * COUT).astype(jnp.bfloat16)
@@ -157,10 +159,10 @@ def main():
     got = unpack(conv_pack(pack(x))).astype(jnp.float32)
     err = jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref))
     print(f"numerics: rel err {float(err):.2e} (bf16 expect <2e-2)")
+    assert float(err) < 2e-2, "NC-packed kernel numerics broken; refusing to time"
 
     def timeit(f, *args):
-        f(*args)[0].block_until_ready() if isinstance(f(*args), tuple) \
-            else f(*args).block_until_ready()
+        jax.block_until_ready(f(*args))
         best = 1e9
         for _ in range(5):
             t0 = time.perf_counter()
