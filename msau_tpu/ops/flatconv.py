@@ -228,6 +228,7 @@ class _Plan(NamedTuple):
     len_in: int        # input window length (% 128 == 0)
     start0: int        # 128-aligned constant part of the window offset
     r: int             # kh*kw*cin
+    z0: int = 0        # z-slice base: 0 (classic) or 128-pleft (aligned)
 
 
 def _plan(geom: FlatGeom, dims: _ConvDims, cin: int, itemsize: int,
@@ -244,22 +245,38 @@ def _plan(geom: FlatGeom, dims: _ConvDims, cin: int, itemsize: int,
     stride = tile * geom.Wp
     g_blk = geom.tile_h // tile
     n_blk = geom.H // tile + 2 * g_blk
-    # input element for out-block-local (row, col) under tap (ky, kx):
-    #   global = blk*stride + local + (ky*d - pt)*Wp + (kx*d - pleft)
-    # the most negative tap shift is raw0; floor-align it to 128.
-    raw0 = -(pt * geom.Wp + pleft)
-    start0 = raw0 - (raw0 % 128)  # <= raw0, multiple of 128, <= 0
-    q_max = ((kh - 1) * d - pt) * geom.Wp + ((kw - 1) * d - pleft) - start0
-    # +1: the 3-row-tap scheme's widest row window is q_row_max + cw =
-    # q_max + stride + 1 (see _row_offsets)
-    len_in = -(-(q_max + stride + 1) // 128) * 128
+    if geom.Wp % 128 == 0 and pleft > 0:
+        # ALIGNED scheme (lane-aligned Wp): every row-tap copy offset is
+        # a pure row shift ky*d*Wp (128-divisible), and the +-pleft column
+        # handling moves into the z-slice combination at base z0 = 128 -
+        # pleft (the window starts 128 columns early so all z slices stay
+        # non-negative).  Measured on-chip (device trace): the misaligned
+        # tap copies were the VPU bottleneck — 0.422 -> 0.317 ms for the
+        # isolated 512^2 8->8 bf16 conv despite Wp 516 -> 640 traffic
+        # (scripts/exp_align_variants.py, device timing).
+        z0 = 128 - pleft
+        start0 = -(pt * geom.Wp + 128)
+        q_max = (kh - 1) * d * geom.Wp
+        len_in = -(-(q_max + stride + z0 + (kw - 1) * d + 1) // 128) * 128
+    else:
+        z0 = 0
+        # input element for out-block-local (row, col) under tap (ky, kx):
+        #   global = blk*stride + local + (ky*d - pt)*Wp + (kx*d - pleft)
+        # the most negative tap shift is raw0; floor-align it to 128.
+        raw0 = -(pt * geom.Wp + pleft)
+        start0 = raw0 - (raw0 % 128)  # <= raw0, multiple of 128, <= 0
+        q_max = (((kh - 1) * d - pt) * geom.Wp
+                 + ((kw - 1) * d - pleft) - start0)
+        # +1: the 3-row-tap scheme's widest row window is q_row_max + cw =
+        # q_max + stride + 1 (see _row_offsets)
+        len_in = -(-(q_max + stride + 1) // 128) * 128
     # first compute block (bi = g_blk) must start in range, and the last
     # compute block's window must end inside the tail guard (no clamping
     # may ever affect a compute block — clamps only serve guard blocks).
     assert g_blk * stride + start0 >= 0, (geom, dims)
     last = (n_blk - g_blk - 1) * stride + start0
     assert last + len_in <= geom.LB, (geom, dims, tile, len_in)
-    return _Plan(tile, stride, g_blk, n_blk, len_in, start0, r)
+    return _Plan(tile, stride, g_blk, n_blk, len_in, start0, r, z0)
 
 
 def _row_offsets(plan: _Plan, geom: FlatGeom, dims: _ConvDims):
@@ -276,10 +293,18 @@ def _row_offsets(plan: _Plan, geom: FlatGeom, dims: _ConvDims):
     isolated 512^2 8->8 conv (scripts/exp_tap_variants.py).
     """
     kh, kw, d, pt, pleft = dims
-    cw = plan.stride + (kw - 1) * d + 1
+    cw = plan.stride + plan.z0 + (kw - 1) * d + 1
     out = []
     for ky in range(kh):
-        q = (ky * d - pt) * geom.Wp - pleft - plan.start0
+        if plan.z0:
+            # aligned scheme: pure row shift; window starts at
+            # start0 = -(pt*Wp + 128), so row tap ky*d - pt sits at
+            # (ky*d - pt)*Wp - start0 = ky*d*Wp + 128 - 128 ... the
+            # extra 128 is absorbed into z0's column base.
+            q = ky * d * geom.Wp
+            assert q % 128 == 0
+        else:
+            q = (ky * d - pt) * geom.Wp - pleft - plan.start0
         assert 0 <= q and q + cw <= plan.len_in, (q, cw, plan)
         out.append(q)
     return tuple(out)
@@ -346,18 +371,40 @@ def _lrn_pow(t: jnp.ndarray, beta: float) -> jnp.ndarray:
     return jnp.exp(-beta * jnp.log(t))
 
 
-def _epilogue_fwd(acc, b_ref, M_ref, act_name, lrn):
+def _lrn_win_dot(M_ref, y2, precision):
+    """Channel-window sum  win[co, j] = sum_ci M[ci, co] * y2[ci, j].
+
+    For bf16 kernels (precision DEFAULT) the operands are cast to bf16 and
+    summed on the MXU in one pass: the window term enters the output as
+    (k + alpha/size * win)^-beta with alpha=1e-4, so a ~0.5% relative
+    error in win moves the output by ~1e-6 relative — measured 0.44 vs
+    0.50 ms for the fused 512^2 LRN conv, and the 6-pass HIGHEST f32
+    emulation is the single biggest epilogue cost on the aligned layout.
+    f32 kernels keep the exact HIGHEST path (they are parity carriers).
+    """
+    if precision == jax.lax.Precision.DEFAULT:
+        return jax.lax.dot_general(
+            M_ref[:].astype(jnp.bfloat16), y2.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    return jax.lax.dot_general(
+        M_ref[:], y2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _epilogue_fwd(acc, b_ref, M_ref, act_name, lrn,
+                  precision=jax.lax.Precision.HIGHEST):
     """bias -> activation -> LRN on the f32 accumulator (pre-mask)."""
     a = acc + b_ref[:]
     act, _ = _act_pair(act_name)
     y = act(a) if act is not None else a
     if lrn is not None:
         size, alpha, beta, k = lrn
-        win = jax.lax.dot_general(
-            M_ref[:], y * y, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # f32 operands: exact
-        )
+        win = _lrn_win_dot(M_ref, y * y, precision)
         y = y * _lrn_pow(k + (alpha / size) * win, beta)
     return y
 
@@ -371,7 +418,8 @@ def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, *rest, plan: _Plan, offs,
         M_ref = None
         o_ref, xs_ref = rest
     kh, kw, d = dims.kh, dims.kw, dims.d
-    cw = plan.stride + (kw - 1) * d + 1
+    z0 = plan.z0
+    cw = plan.stride + z0 + (kw - 1) * d + 1
     bi = pl.program_id(1)
     is_guard = jnp.logical_or(bi < plan.g_blk,
                               bi >= plan.n_blk - plan.g_blk)
@@ -391,11 +439,20 @@ def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, *rest, plan: _Plan, offs,
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )  # [KW*Cout, cw]: z_kx in rows [kx*cout, (kx+1)*cout)
-            acc = z[0:cout, 0:plan.stride]
-            for kx in range(1, kw):
+            # start from the lane-ALIGNED slice so acc carries offset-0
+            # layout: a misaligned base forces a full relayout before the
+            # epilogue's LRN dot (measured +0.25 ms at 512^2 aligned geom)
+            k0 = next((kx for kx in range(kw)
+                       if (z0 + kx * d) % 128 == 0), 0)
+            acc = z[k0 * cout:(k0 + 1) * cout,
+                    z0 + k0 * d:z0 + k0 * d + plan.stride]
+            for kx in range(kw):
+                if kx == k0:
+                    continue
                 acc = acc + z[kx * cout:(kx + 1) * cout,
-                              kx * d:kx * d + plan.stride]
-            acc = _epilogue_fwd(acc, b_ref, M_ref, act_name, lrn) * m_ref[:]
+                              z0 + kx * d:z0 + kx * d + plan.stride]
+            acc = _epilogue_fwd(acc, b_ref, M_ref, act_name, lrn,
+                                precision) * m_ref[:]
             o_ref[i, :, :] = acc.astype(o_ref.dtype)
 
 
@@ -408,7 +465,8 @@ def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, gs_ref, *, plan: _Plan, offs,
     # parallel batch dim would race the accumulator and silently corrupt
     # weight gradients.
     kh, kw, d = dims.kh, dims.kw, dims.d
-    cw = plan.stride + (kw - 1) * d + 1
+    z0 = plan.z0
+    cw = plan.stride + z0 + (kw - 1) * d + 1
     ni = pl.program_id(0)
     bi = pl.program_id(1)
 
@@ -422,11 +480,11 @@ def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, gs_ref, *, plan: _Plan, offs,
     @pl.when(jnp.logical_not(is_guard))
     def _():
         # dw3[ky*cin+ci, kx*cout+co] = sum_j xs3[ky*cin+ci, j] *
-        # g[co, j - kx*d]: the column-shifted g stack gs carries each kx
-        # group at lane offset kx*d, ZERO outside [kx*d, kx*d + stride) —
+        # g[co, j - z0 - kx*d]: the column-shifted g stack gs carries each
+        # kx group at lane offset z0 + kx*d, ZERO outside its band —
         # out-of-block tap contributions belong to neighbouring grid steps.
         for kx in range(kw):
-            lo, hi = kx * d, kx * d + plan.stride
+            lo, hi = z0 + kx * d, z0 + kx * d + plan.stride
             if lo > 0:
                 gs_ref[kx * cout:(kx + 1) * cout, :lo] = jnp.zeros_like(
                     gs_ref[kx * cout:(kx + 1) * cout, :lo])
@@ -439,7 +497,7 @@ def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, gs_ref, *, plan: _Plan, offs,
                     x_ref[i, :, q:q + cw])
             for kx in range(kw):
                 gs_ref[kx * cout:(kx + 1) * cout,
-                       kx * d:kx * d + plan.stride] = g_ref[i]
+                       z0 + kx * d:z0 + kx * d + plan.stride] = g_ref[i]
             dw_ref[:] += jax.lax.dot_general(
                 xs_ref[:, :cw], gs_ref[:, :cw], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -469,7 +527,8 @@ def _epi_bwd_kernel(x_ref, g_ref, w_ref, b_ref, m_ref, *rest,
         M_ref = None
         g0_ref, dw_ref, db_ref, xs_ref, gs_ref = rest
     kh, kw, d = dims.kh, dims.kw, dims.d
-    cw = plan.stride + (kw - 1) * d + 1
+    z0 = plan.z0
+    cw = plan.stride + z0 + (kw - 1) * d + 1
     ni = pl.program_id(0)
     bi = pl.program_id(1)
 
@@ -489,7 +548,7 @@ def _epi_bwd_kernel(x_ref, g_ref, w_ref, b_ref, m_ref, *rest,
     def _():
         # static zero bands of the shifted-g stack (see _dw_kernel)
         for kx in range(kw):
-            lo, hi = kx * d, kx * d + plan.stride
+            lo, hi = z0 + kx * d, z0 + kx * d + plan.stride
             if lo > 0:
                 gs_ref[kx * cout:(kx + 1) * cout, :lo] = jnp.zeros_like(
                     gs_ref[kx * cout:(kx + 1) * cout, :lo])
@@ -505,30 +564,40 @@ def _epi_bwd_kernel(x_ref, g_ref, w_ref, b_ref, m_ref, *rest,
                 w_ref[:], xs_ref[:, :cw], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
-            acc = z[0:cout, 0:plan.stride]
-            for kx in range(1, kw):
+            k0 = next((kx for kx in range(kw)
+                       if (z0 + kx * d) % 128 == 0), 0)
+            acc = z[k0 * cout:(k0 + 1) * cout,
+                    z0 + k0 * d:z0 + k0 * d + plan.stride]
+            for kx in range(kw):
+                if kx == k0:
+                    continue
                 acc = acc + z[kx * cout:(kx + 1) * cout,
-                              kx * d:kx * d + plan.stride]
+                              z0 + kx * d:z0 + kx * d + plan.stride]
             a = acc + b_ref[:]
             g = g_ref[i].astype(jnp.float32)
             if lrn is not None:
                 size, alpha, beta, k = lrn
                 s = alpha / size
                 y1 = act(a) if act is not None else a
-                win = jax.lax.dot_general(
-                    M_ref[:], y1 * y1, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                win = _lrn_win_dot(M_ref, y1 * y1, precision)
                 t = k + s * win
                 r = _lrn_pow(t, beta)  # t^-beta
                 # dL/dy1 = g*r - 2*beta*s * y1 * (M @ (g*y1*r/t))
                 u = g * y1 * (r / t)
-                mu = jax.lax.dot_general(
-                    M_ref[:], u, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                if precision == jax.lax.Precision.DEFAULT:
+                    mu = jax.lax.dot_general(
+                        M_ref[:].astype(jnp.bfloat16),
+                        u.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+                else:
+                    mu = jax.lax.dot_general(
+                        M_ref[:], u, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                 g1 = g * r - (2.0 * beta * s) * y1 * mu
             else:
                 g1 = g
@@ -539,7 +608,7 @@ def _epi_bwd_kernel(x_ref, g_ref, w_ref, b_ref, m_ref, *rest,
             g0c = g0.astype(gs_ref.dtype)
             for kx in range(kw):
                 gs_ref[kx * cout:(kx + 1) * cout,
-                       kx * d:kx * d + plan.stride] = g0c
+                       z0 + kx * d:z0 + kx * d + plan.stride] = g0c
             dw_ref[:] += jax.lax.dot_general(
                 xs_ref[:, :cw], gs_ref[:, :cw], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -559,7 +628,7 @@ def _epi_bwd_call(xb, g, w2, b, geom: FlatGeom, dims: _ConvDims,
     plan = _plan(geom, dims, cin, itemsize,
                  tile=_sub_tile(geom, 2 * (kh * cin + kw * cout), itemsize))
     offs = _row_offsets(plan, geom, dims)
-    cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
+    cwp = -(-(plan.stride + plan.z0 + (kw - 1) * dims.d + 1) // 128) * 128
     epi_bytes = (2 * kw * cout * cwp * 4
                  + (6 * cout * cwp * 4 if lrn else 0))
     nb = _batch_block(n, cin * plan.len_in * itemsize
@@ -651,7 +720,7 @@ def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
     plan = _plan(geom, dims, cin, itemsize,
                  tile=_sub_tile(geom, kh * cin + kw * cout, itemsize))
     offs = _row_offsets(plan, geom, dims)
-    cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
+    cwp = -(-(plan.stride + plan.z0 + (kw - 1) * dims.d + 1) // 128) * 128
     # stack budget: xs3 scratch + 2x the f32 z intermediate ([KW*Cout, cw])
     # the kernel materializes per image (the 4x4/17-out end conv OOM'd
     # VMEM when this was uncounted) + the LRN win/sq temps.  At f32 the
@@ -709,7 +778,7 @@ def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
     plan = _plan(geom, dims, cin, itemsize,
                  tile=_sub_tile(geom, 2 * (kh * cin + kw * cout), itemsize))
     offs = _row_offsets(plan, geom, dims)
-    cwp = -(-(plan.stride + (kw - 1) * dims.d + 1) // 128) * 128
+    cwp = -(-(plan.stride + plan.z0 + (kw - 1) * dims.d + 1) // 128) * 128
     # f32: the X3 dot's per-iteration operand splits aren't reused across
     # the unrolled image loop (see _batch_block)
     nb = _batch_block(n, cin * plan.len_in * itemsize,

@@ -255,30 +255,18 @@ def main():
                                      - ref.astype(jnp.float32))))
         print(f"{name} vs library max diff: {diff:.2e}")
 
-    # Chain 20 applications inside ONE jit: the conv is cin==cout on a
-    # fixed geometry, so output feeds input — measures pure device time
-    # without per-dispatch tunnel jitter.
-    def chain(fn):
-        def many(xb):
-            for _ in range(20):
-                xb = fn(xb)
-            return xb
-        return jax.jit(many)
+    # Device-trace timing (ktime): immune to tunnel RTT — the round-3
+    # chained-host numbers carried +RTT/20 ~ +1.25 ms and are obsolete.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ktime import device_ms
 
     for name, fn, xb in [("E  lib Wp=516  ", run_e, xb_e),
                          ("E' lib Wp=640  ", run_ea, xb_a),
                          ("F  aligned-taps", run_f, xb_a),
                          ("G  aligned-adds", run_g, xb_a),
                          ("G0 P=0 masked  ", run_g0, xb_0)]:
-        cfn = chain(fn)
-        _ = np.asarray(cfn(xb)[0, 0, :8])
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            y = cfn(xb)
-            _ = np.asarray(y[0, 0, :8])
-            best = min(best, time.perf_counter() - t0)
-        print(f"{name}: {best/20*1e3:.3f} ms")
+        t = device_ms(fn, xb, iters=20)
+        print(f"{name}: {t:.3f} ms (device)")
 
 
 if __name__ == "__main__":
