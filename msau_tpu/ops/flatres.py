@@ -113,6 +113,12 @@ class _FusedPlan:
         self.origin = -halo * geom.Wp - halo - p.start0
         assert self.origin >= 0
         self.halo = halo
+        # lane-aligned geometry (Wp % 128 == 0): _plan's aligned branch
+        # pins start0 = -(halo*Wp + 128), so window element 0 is
+        # (row h0-halo, col -128) and every whole-row slice is aligned
+        self.aligned = p.z0 > 0
+        if self.aligned:
+            assert -p.start0 == halo * geom.Wp + 128, (p, halo)
 
 
 def _win(plan: _FusedPlan, rows: int) -> int:
@@ -174,6 +180,221 @@ def _conv_into(src_ref, xs_ref, w_ref, *, c, wp, row0, col0,
     )  # [3*C_out, cw]; z_kx = rows [kx*cout, (kx+1)*cout)
     return (z[0:cout, 0:L] + z[cout:2 * cout, 1:L + 1]
             + z[2 * cout:3 * cout, 2:L + 2])
+
+
+def _conv_into_al(src_ref, xs_ref, w_ref, *, c, wp, q0, n_rows, precision):
+    """Aligned 3x3 conv: src buffer with column origin -128 (element p of
+    a row holds col p-128), taps are pure row shifts from q0 (all copies
+    lane-ALIGNED); the +-1 column shifts live in the z-slice combination
+    at bases {127, 128, 129}, accumulated from the aligned center slice.
+    Output is origin-0 ([c, n_rows*wp], col j at index j).
+    """
+    L = n_rows * wp
+    cw = L + 130
+    cout = w_ref.shape[1] // 3
+    for ky in range(3):
+        q = q0 + ky * wp
+        xs_ref[ky * c:(ky + 1) * c, :cw] = src_ref[:, q:q + cw]
+    z = jax.lax.dot_general(
+        w_ref[:], xs_ref[:, :cw], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    acc = z[cout:2 * cout, 128:128 + L]          # center tap, aligned base
+    acc = acc + z[0:cout, 127:127 + L]
+    return acc + z[2 * cout:3 * cout, 129:129 + L]
+
+
+def _store_origin128(buf_ref, val, wp, n_guard_head_rows=1):
+    """Write an origin-0 value into an origin(-128) buffer: zero head
+    (guard rows + 128 borrowed pad columns), ONE shifted write, zero tail.
+    The single misaligned write replaces the per-tap misaligned copies of
+    the classic scheme.
+    """
+    head = n_guard_head_rows * wp + 128
+    n = val.shape[1]
+    buf_ref[:, :head] = jnp.zeros_like(buf_ref[:, :head])
+    buf_ref[:, head:head + n] = val.astype(buf_ref.dtype)
+    buf_ref[:, head + n:] = jnp.zeros_like(buf_ref[:, head + n:])
+
+
+def _fwd_kernel_al(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, rid_ref,
+                   o_ref, xs_ref, h0_ref, h1_ref, *, plan: _FusedPlan,
+                   act_name: str, nb: int, precision):
+    """Aligned-geometry fused forward (see _conv_into_al).  Window element
+    0 is (row h0-2, col -128); all window reads and tap copies are
+    lane-aligned; the only misaligned ops are the two z-slice adds per
+    conv and the single h1 buffer store.
+    """
+    c, wp, t = plan.c, plan.geom.Wp, plan.tile
+    act, _ = _act_fns(act_name)
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < plan.g_blk, bi >= plan.n_blk - plan.g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+      for i in range(nb):
+        # h0 = relu(x) rows [h0-2, h0+t+2), origin -128: aligned copy.
+        # +128: the borrowed-column origin shifts the whole stream, so
+        # covering through row t+1's last real column needs n0*wp + 128
+        # content elements (the last block-row read exactly touches it).
+        n0 = t + 4
+        h0_ref[:, : n0 * wp + 128] = jnp.maximum(
+            x_ref[i, :, : n0 * wp + 128], 0.0
+        ).astype(h0_ref.dtype)
+        h0_ref[:, n0 * wp + 128:] = jnp.zeros_like(
+            h0_ref[:, n0 * wp + 128:])
+        # conv1 -> u rows [h0-1, h0+t+1), origin 0; q0 = 0
+        n1 = t + 2
+        u = _conv_into_al(h0_ref, xs_ref, w1_ref, c=c, wp=wp,
+                          q0=0, n_rows=n1, precision=precision)
+        u_pre = u + b1_ref[:]
+        h0g = (bi - plan.g_blk) * plan.tile
+        grow = h0g - 1 + rid_ref[:, : n1 * wp]
+        rvalid = jnp.logical_and(grow >= 0, grow < plan.geom.H)
+        keep = jnp.logical_and(m_ref[:, : n1 * wp] > 0, rvalid)
+        h1c = jnp.where(keep, act(u_pre), 0.0)
+        # h1 rows [h0-2, h0+t+2) origin -128: one shifted store
+        _store_origin128(h1_ref, h1c, wp)
+        # conv2 -> y rows [h0, h0+t): q0 = wp
+        y = _conv_into_al(h1_ref, xs_ref, w2_ref, c=c, wp=wp,
+                          q0=wp, n_rows=t, precision=precision)
+        # residual: x rows [h0, h0+t) at window element 2*wp+128, aligned
+        xcen = x_ref[i, :, 2 * wp + 128: 2 * wp + 128 + t * wp]
+        y_pre = y + b2_ref[:] + xcen.astype(jnp.float32)
+        o_ref[i, :, :] = jnp.where(m_ref[:, : t * wp] > 0, act(y_pre),
+                                   0.0).astype(o_ref.dtype)
+
+
+def _bwd_kernel_al(x_ref, g_ref, w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref,
+                   w2t_ref, m_ref, rid_ref, dx_ref, dw1_ref, dw2_ref,
+                   db1_ref, db2_ref, xs_ref, h0_ref, h1_ref, gu_ref, gv_ref,
+                   gs_ref, *, plan: _FusedPlan, act_name: str, nb: int,
+                   precision):
+    """Aligned-geometry fused backward.  Window element 0 is
+    (row h0-4, col -128).  Misaligned ops: 2 z-adds per conv (x4 convs),
+    3 buffer stores (h1/gu/gv), and 2 of the 3 dw g-bands."""
+    c, wp, t = plan.c, plan.geom.Wp, plan.tile
+    act, dact = _act_fns(act_name)
+    ni = pl.program_id(0)
+    bi = pl.program_id(1)
+
+    # sequential-grid accumulation (see _bwd_kernel note)
+    @pl.when(jnp.logical_and(ni == 0, bi == 0))
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    is_guard = jnp.logical_or(bi < plan.g_blk, bi >= plan.n_blk - plan.g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+      for i in range(nb):
+        # recompute h0 = relu(x) rows [h0-4, h0+t+4), origin -128
+        # (+128 content: see _fwd_kernel_al)
+        n0 = t + 8
+        h0_ref[:, : n0 * wp + 128] = jnp.maximum(
+            x_ref[i, :, : n0 * wp + 128], 0.0
+        ).astype(h0_ref.dtype)
+        h0_ref[:, n0 * wp + 128:] = jnp.zeros_like(
+            h0_ref[:, n0 * wp + 128:])
+        # u_pre rows [h0-3, h0+t+3), origin 0; q0 = 0
+        n1 = t + 6
+        u = _conv_into_al(h0_ref, xs_ref, w1_ref, c=c, wp=wp,
+                          q0=0, n_rows=n1, precision=precision)
+        u_pre = u + b1_ref[:]
+        mask1 = m_ref[:, : n1 * wp]
+        h0g = (bi - plan.g_blk) * plan.tile
+        grow1 = h0g - 3 + rid_ref[:, : n1 * wp]
+        rv1 = jnp.logical_and(grow1 >= 0, grow1 < plan.geom.H)
+        h1c = jnp.where(jnp.logical_and(mask1 > 0, rv1), act(u_pre), 0.0)
+        # h1 rows [h0-4, h0+t+4) origin -128
+        _store_origin128(h1_ref, h1c, wp)
+        # y_pre rows [h0-2, h0+t+2): q0 = wp
+        n2 = t + 4
+        y = _conv_into_al(h1_ref, xs_ref, w2_ref, c=c, wp=wp,
+                          q0=wp, n_rows=n2, precision=precision)
+        # x rows [h0-2, ...) at window element 2*wp+128 (aligned)
+        xc = x_ref[i, :, 2 * wp + 128: 2 * wp + 128 + n2 * wp]
+        y_pre = y + b2_ref[:] + xc.astype(jnp.float32)
+        # incoming g rows [h0-2, h0+t+2): aligned read, origin 0
+        graw = g_ref[i, :, 2 * wp + 128: 2 * wp + 128 + n2 * wp]
+        g_yres = jnp.where(m_ref[:, : n2 * wp] > 0,
+                           graw.astype(jnp.float32), 0.0)
+        g_u2 = g_yres * dact(y_pre)
+        # gu rows [h0-3, h0+t+3) origin -128 (one guard row each side)
+        _store_origin128(gu_ref, g_u2, wp)
+        # g_h1 rows [h0-1, h0+t+1): transposed conv2 over gu; q0 = wp
+        n3 = t + 2
+        g_h1 = _conv_into_al(gu_ref, xs_ref, w2t_ref, c=c, wp=wp,
+                             q0=wp, n_rows=n3, precision=precision)
+        u_cen = u_pre[:, 2 * wp: 2 * wp + n3 * wp]
+        grow3 = h0g - 1 + rid_ref[:, : n3 * wp]
+        rv3 = jnp.logical_and(grow3 >= 0, grow3 < plan.geom.H)
+        g_v = jnp.where(jnp.logical_and(m_ref[:, : n3 * wp] > 0, rv3),
+                        g_h1 * dact(u_cen), 0.0)
+        # gv rows [h0-2, h0+t+2) origin -128
+        _store_origin128(gv_ref, g_v, wp)
+        # g_h0 rows [h0, h0+t): transposed conv1 over gv; q0 = wp
+        g_h0 = _conv_into_al(gv_ref, xs_ref, w1t_ref, c=c, wp=wp,
+                             q0=wp, n_rows=t, precision=precision)
+        # x rows [h0, h0+t) at window element 4*wp+128 (aligned)
+        xcen = x_ref[i, :, 4 * wp + 128: 4 * wp + 128 + t * wp]
+        g_res = g_u2[:, 2 * wp: 2 * wp + t * wp]
+        dx = g_h0 * (xcen.astype(jnp.float32) > 0) + g_res
+        dx_ref[i, :, :] = dx.astype(dx_ref.dtype)
+
+        # --- weight/bias grads, aligned form: the h-tap stacks are pure
+        # row shifts (aligned); the g bands sit at {127, 128, 129} (center
+        # aligned).  dw3[ky*c+ci, kx*c+co] = sum_m xs[ky*c+ci, m] *
+        # gs[kx*c+co, m] with gs[kx][m] = g[m - 127 - kx].
+        L = t * wp
+        cwL = L + 130
+        for kx in range(3):
+            lo = 127 + kx
+            gs_ref[kx * c:(kx + 1) * c, :lo] = jnp.zeros_like(
+                gs_ref[kx * c:(kx + 1) * c, :lo])
+            gs_ref[kx * c:(kx + 1) * c, lo + L:cwL] = jnp.zeros_like(
+                gs_ref[kx * c:(kx + 1) * c, lo + L:cwL])
+        # dw2: h1 taps (h1 buffer origin row h0-4 col -128): out row r
+        # tap (ky, kx) = h1 element (r + 3 + ky)*wp + 128 + j + kx - 1,
+        # matched by xs base (3+ky)*wp with the band offsets
+        g_u2c = g_u2[:, 2 * wp: 2 * wp + L]
+        for ky in range(3):
+            q = (3 + ky) * wp
+            xs_ref[ky * c:(ky + 1) * c, :cwL] = h1_ref[:, q:q + cwL]
+        for kx in range(3):
+            lo = 127 + kx
+            gs_ref[kx * c:(kx + 1) * c, lo:lo + L] = g_u2c.astype(
+                gs_ref.dtype)
+        dw2_ref[:] += jax.lax.dot_general(
+            xs_ref[:, :cwL], gs_ref[:, :cwL], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        db2_ref[:] += jnp.sum(g_u2c, axis=1, keepdims=True)
+        # dw1: h0 taps against g_v rows [h0, h0+t)
+        g_vc = g_v[:, 1 * wp: 1 * wp + L]
+        for ky in range(3):
+            q = (3 + ky) * wp
+            xs_ref[ky * c:(ky + 1) * c, :cwL] = h0_ref[:, q:q + cwL]
+        for kx in range(3):
+            lo = 127 + kx
+            gs_ref[kx * c:(kx + 1) * c, lo:lo + L] = g_vc.astype(
+                gs_ref.dtype)
+        dw1_ref[:] += jax.lax.dot_general(
+            xs_ref[:, :cwL], gs_ref[:, :cwL], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        db1_ref[:] += jnp.sum(g_vc, axis=1, keepdims=True)
 
 
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, m_ref, rid_ref,
@@ -453,12 +674,14 @@ def _fused_fwd_call(x, w1, b1, w2, b2, geom, activation):
     plan = _FusedPlan(geom, c, itemsize, halo=2)
     wp, t = geom.Wp, plan.tile
     interp = _use_interpret()
-    scratch_bytes = ((3 * c * ((t + 2) * wp + 128)
-                      + 2 * c * _win(plan, t + 4)) * itemsize
-                     + 2 * 3 * c * ((t + 2) * wp + 128) * 4)  # f32 z temps
+    slack = 256 if plan.aligned else 128
+    scratch_bytes = ((3 * c * ((t + 2) * wp + slack)
+                      + 2 * c * ((t + 4) * wp + slack)) * itemsize
+                     + 2 * 3 * c * ((t + 2) * wp + slack) * 4)  # f32 z temps
     nb = _fused_batch_block(n, plan, itemsize, 2, scratch_bytes)
     kernel = functools.partial(
-        _fwd_kernel, plan=plan, act_name=activation, nb=nb,
+        _fwd_kernel_al if plan.aligned else _fwd_kernel,
+        plan=plan, act_name=activation, nb=nb,
         precision=_dot_precision(x.dtype),
     )
     mask = _mask_row(wp, geom.W, t + 2, plan.stride)
@@ -478,9 +701,9 @@ def _fused_fwd_call(x, w1, b1, w2, b2, geom, activation):
                                lambda ni, bi: (ni, 0, bi)),
         out_shape=jax.ShapeDtypeStruct((n, c, geom.LB), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((3 * c, (t + 2) * wp + 128), x.dtype),
-            pltpu.VMEM((c, _win(plan, t + 4)), x.dtype),
-            pltpu.VMEM((c, _win(plan, t + 4)), x.dtype),
+            pltpu.VMEM((3 * c, (t + 2) * wp + slack), x.dtype),
+            pltpu.VMEM((c, (t + 4) * wp + slack), x.dtype),
+            pltpu.VMEM((c, (t + 4) * wp + slack), x.dtype),
         ],
         interpret=interp,
     )(x, _w_group(w1, x.dtype), b1.reshape(-1, 1).astype(jnp.float32),
@@ -504,13 +727,15 @@ def _fused_vjp_bwd(geom, activation, mask_cotangent, res, g):
     if mask_cotangent:
         g = body_mask(g, geom)
     g = g.astype(x.dtype)
-    scratch_bytes = ((3 * c * ((t + 6) * wp + 128)
-                      + 4 * c * _win(plan, t + 8)) * itemsize
-                     + 3 * c * (t * wp + 128) * 4
-                     + 2 * 3 * c * ((t + 6) * wp + 128) * 4)  # f32 z temps
+    slack = 256 if plan.aligned else 128
+    scratch_bytes = ((3 * c * ((t + 6) * wp + slack)
+                      + 4 * c * ((t + 8) * wp + slack)) * itemsize
+                     + 3 * c * (t * wp + slack) * 4
+                     + 2 * 3 * c * ((t + 6) * wp + slack) * 4)  # f32 z temps
     nb = _fused_batch_block(n, plan, itemsize, 3, scratch_bytes)
     kernel = functools.partial(
-        _bwd_kernel, plan=plan, act_name=activation, nb=nb,
+        _bwd_kernel_al if plan.aligned else _bwd_kernel,
+        plan=plan, act_name=activation, nb=nb,
         precision=_dot_precision(x.dtype),
     )
     mask = _mask_row(wp, geom.W, t + 6, plan.stride)
@@ -544,12 +769,12 @@ def _fused_vjp_bwd(geom, activation, mask_cotangent, res, g):
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3 * c, (t + 6) * wp + 128), x.dtype),
-            pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
-            pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
-            pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
-            pltpu.VMEM((c, _win(plan, t + 8)), x.dtype),
-            pltpu.VMEM((3 * c, t * wp + 128), jnp.float32),
+            pltpu.VMEM((3 * c, (t + 6) * wp + slack), x.dtype),
+            pltpu.VMEM((c, (t + 8) * wp + slack), x.dtype),
+            pltpu.VMEM((c, (t + 8) * wp + slack), x.dtype),
+            pltpu.VMEM((c, (t + 8) * wp + slack), x.dtype),
+            pltpu.VMEM((c, (t + 8) * wp + slack), x.dtype),
+            pltpu.VMEM((3 * c, t * wp + slack), jnp.float32),
         ],
         interpret=interp,
     )(x, g, _w_group(w1, x.dtype), b1.reshape(-1, 1).astype(jnp.float32),

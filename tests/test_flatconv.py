@@ -52,6 +52,80 @@ def test_forward_matches_oracle(h, w, cin, cout, kh, kw, d, pad):
                                   np.asarray(body_mask(got, geom)))
 
 
+ALIGNED_CASES = [
+    # lane-aligned geometry (Wp % 128 == 0, z0 > 0 scheme)
+    (32, 64, 8, 8, 3, 3, 1, "SAME"),
+    (32, 64, 8, 16, 3, 3, 2, "SAME"),
+    (32, 64, 16, 8, 1, 1, 1, "SAME"),
+    (32, 64, 8, 17, 4, 4, 1, "SAME"),
+    (32, 64, 16, 8, 3, 3, 1, (1, 1)),
+]
+
+
+def _aligned_geom(h, w):
+    from msau_tpu.ops.flatconv import FlatGeom
+
+    p = ((-(-w // 128) + (1 if w % 128 == 0 else 0)) * 128 - w) // 2
+    geom = FlatGeom(h, w, p, min(8, h))
+    assert geom.Wp % 128 == 0
+    return geom
+
+
+@pytest.mark.parametrize("h,w,cin,cout,kh,kw,d,pad", ALIGNED_CASES)
+def test_forward_matches_oracle_aligned(h, w, cin, cout, kh, kw, d, pad):
+    geom = _aligned_geom(h, w)
+    key = jax.random.PRNGKey(0)
+    xb = _mk(geom, cin, key)
+    wk = jax.random.normal(jax.random.PRNGKey(1), (kh, kw, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(2), (cout,))
+    got = flat_conv2d(xb, wk, b, geom, dilation=d, padding=pad)
+    ref = flat_conv2d_reference(xb, wk, b, geom, dilation=d, padding=pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    from msau_tpu.ops.flatconv import body_mask
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(body_mask(got, geom)))
+
+
+@pytest.mark.parametrize("h,w,cin,cout,kh,kw,d,pad", ALIGNED_CASES[:3])
+def test_grads_match_oracle_aligned(h, w, cin, cout, kh, kw, d, pad):
+    geom = _aligned_geom(h, w)
+    xb = _mk(geom, cin, jax.random.PRNGKey(3))
+    wk = jax.random.normal(jax.random.PRNGKey(4), (kh, kw, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(5), (cout,))
+    cw = jax.random.normal(jax.random.PRNGKey(6), (2, cout, geom.LB))
+
+    def loss(fn):
+        return lambda *a: jnp.sum(
+            fn(*a, geom, dilation=d, padding=pad) * cw)
+
+    g_got = jax.grad(loss(flat_conv2d), argnums=(0, 1, 2))(xb, wk, b)
+    g_ref = jax.grad(loss(flat_conv2d_reference), argnums=(0, 1, 2))(
+        xb, wk, b)
+    for got, ref, name in zip(g_got, g_ref, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3,
+            err_msg=f"grad wrt {name}")
+
+
+@pytest.mark.parametrize("act,lrn", [("relu", None), ("relu", 5)])
+def test_fused_epilogue_aligned(act, lrn):
+    geom = _aligned_geom(32, 64)
+    cin = cout = 8
+    xb = _mk(geom, cin, jax.random.PRNGKey(7))
+    wk = jax.random.normal(jax.random.PRNGKey(8), (3, 3, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(9), (cout,))
+    from msau_tpu.ops.flatconv import body_lrn
+
+    got = flat_conv2d(xb, wk, b, geom, act=act, lrn_size=lrn)
+    ref = flat_conv2d_reference(xb, wk, b, geom)
+    ref = jax.nn.relu(ref)
+    if lrn:
+        ref = body_lrn(ref, lrn, 1e-4, 0.75, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("h,w,cin,cout,kh,kw,d,pad", CASES[:4])
 def test_grads_match_oracle(h, w, cin, cout, kh, kw, d, pad):
     geom = choose_geom(h, w)

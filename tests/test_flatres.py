@@ -13,8 +13,16 @@ from msau_tpu.ops.flatres import (
 )
 
 
-def _setup(h, w, c, act, key=0):
-    geom = choose_geom(h, w)
+def _setup(h, w, c, act, key=0, aligned=False):
+    if aligned:
+        # lane-aligned geometry (Wp % 128 == 0) exercises the _al kernels
+        from msau_tpu.ops.flatconv import FlatGeom
+
+        p = ((-(-w // 128) + (1 if w % 128 == 0 else 0)) * 128 - w) // 2
+        geom = FlatGeom(h, w, p, min(8, h))
+        assert geom.Wp % 128 == 0
+    else:
+        geom = choose_geom(h, w)
     assert fused_res_supported(geom, c, 3, 2, act)
     ks = jax.random.split(jax.random.PRNGKey(key), 5)
     x = to_body(jax.random.normal(ks[0], (2, c, h, w)), geom)
@@ -25,25 +33,30 @@ def _setup(h, w, c, act, key=0):
     return geom, x, w1, b1, w2, b2
 
 
-@pytest.mark.parametrize("h,w,c,act", [
-    (32, 48, 8, "relu"),
-    (32, 48, 8, "elu"),
-    (64, 96, 16, "relu"),
+@pytest.mark.parametrize("h,w,c,act,aligned", [
+    (32, 48, 8, "relu", False),
+    (32, 48, 8, "elu", False),
+    (64, 96, 16, "relu", False),
+    (32, 64, 8, "relu", True),
+    (32, 64, 8, "elu", True),
+    (64, 128, 16, "relu", True),
 ])
-def test_fused_forward_matches_composition(h, w, c, act):
-    geom, x, w1, b1, w2, b2 = _setup(h, w, c, act)
+def test_fused_forward_matches_composition(h, w, c, act, aligned):
+    geom, x, w1, b1, w2, b2 = _setup(h, w, c, act, aligned=aligned)
     got = flat_res_block(x, w1, b1, w2, b2, geom, act)
     ref = flat_res_block_reference(x, w1, b1, w2, b2, geom, act)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-4, atol=3e-4)
 
 
-@pytest.mark.parametrize("h,w,c,act", [
-    (32, 48, 8, "relu"),
-    (32, 48, 8, "elu"),
+@pytest.mark.parametrize("h,w,c,act,aligned", [
+    (32, 48, 8, "relu", False),
+    (32, 48, 8, "elu", False),
+    (32, 64, 8, "relu", True),
+    (32, 64, 8, "elu", True),
 ])
-def test_fused_grads_match_composition(h, w, c, act):
-    geom, x, w1, b1, w2, b2 = _setup(h, w, c, act, key=7)
+def test_fused_grads_match_composition(h, w, c, act, aligned):
+    geom, x, w1, b1, w2, b2 = _setup(h, w, c, act, key=7, aligned=aligned)
     cw = jax.random.normal(jax.random.PRNGKey(9), (2, c, geom.LB))
 
     def loss(fn):
