@@ -50,6 +50,13 @@ class ModelConfig:
     flat_scales: int = 0               # shallow scales in channel-major flat
                                        # layout (Pallas convs, ops/flatconv);
                                        # 0 = all-NHWC
+    spatial_shards: int = 1            # split H into this many shards on the
+                                       # flat scales (batch axis carries
+                                       # sp*N shard-major entries; halo
+                                       # exchange via flatconv.extend_shards)
+                                       # — pair with a 'spatial' mesh axis of
+                                       # the same size; deepest NHWC scales
+                                       # see the merged global image
 
     # ------------------------------------------------------------------
     # reference `model_kwargs.json` compatibility

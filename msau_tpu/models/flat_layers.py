@@ -31,23 +31,38 @@ Dtype = object
 
 def make_scale_geoms(h: int, w: int, n_scales: int, itemsize: int = 2,
                      pool: int = 2, feat_root: int = 8,
-                     n_class: int = 17) -> List[FlatGeom]:
+                     n_class: int = 17,
+                     align_scales: int = 1) -> List[FlatGeom]:
     """Geometries for scales 0..n_scales-1 (SAME-pool halving each scale).
 
     max_cin per scale: the widest flat conv is the up-tower merge
     (2 * feat_root * pool**scale channels); scale 0 also sees the
     n_class-channel entry conv of the coupled stages.
+
+    Scales < ``align_scales`` prefer a lane-ALIGNED geometry
+    (Wp % 128 == 0, ops/flatconv.py aligned-tap scheme).  Default 1:
+    measured on-chip (device trace, flagship bs=16 512^2 bf16 step),
+    aligning scale 0 is 149.2 -> 143.1 ms/step while aligning deeper
+    scales loses it back (148.1 at all-aligned) — their pad-column
+    traffic inflation (Wp 260->384 at scale 1, 132->256 at scale 2)
+    outweighs the VPU alignment win on their smaller tensors.
     """
     geoms = []
     for s in range(n_scales):
         cin = 2 * feat_root * pool ** s
         if s == 0:
             cin = max(cin, n_class)
+        geom = None
+        if s < align_scales:
+            try:
+                geom = choose_geom(h, w, itemsize=itemsize, max_cin=cin,
+                                   wp_mod=128)
+            except ValueError:
+                geom = None
         # deeper scales feed the x2 upsample kernel, whose half-tile input
         # windows need Wp_in % 8 == 0 for 128-aligned offsets; fall back
         # to the unconstrained geometry when that costs feasibility
-        geom = None
-        if s > 0:
+        if geom is None and s > 0:
             try:
                 geom = choose_geom(h, w, itemsize=itemsize, max_cin=cin,
                                    wp_mod=8)
@@ -58,7 +73,49 @@ def make_scale_geoms(h: int, w: int, n_scales: int, itemsize: int = 2,
         geoms.append(geom)
         h = -(-h // pool)
         w = -(-w // pool)
+    # adjacent scales feed the Pallas x2 upsample; if an ALIGNED choice
+    # breaks the pair's tile feasibility (small grids: e.g. Wp_in=40 has
+    # no half-tile multiple of 128), demote it to the classic geometry —
+    # the flagship 512/256 pair (Wp 640/264) is feasible and keeps it
+    from msau_tpu.ops.flatconv import _upsample_tiles
+
+    for s in range(len(geoms) - 1):
+        if geoms[s].Wp % 128 == 0 and s < align_scales:
+            if _upsample_tiles(geoms[s + 1], geoms[s]) is None:
+                try:
+                    cin = 2 * feat_root * pool ** s
+                    if s == 0:
+                        cin = max(cin, n_class)
+                    geoms[s] = choose_geom(
+                        geoms[s].H, geoms[s].W, itemsize=itemsize,
+                        max_cin=cin, wp_mod=8 if s > 0 else 1)
+                except ValueError:
+                    pass
     return geoms
+
+
+def split_spatial(x: jnp.ndarray, sp: int) -> jnp.ndarray:
+    """Global NHWC [N, H, ...] -> shard-major [sp*N, H/sp, ...].
+
+    Entry i*N + j holds rows [i*H/sp, (i+1)*H/sp) of image j — the batch
+    representation the spatially sharded flat scales use (FlatGeom.sp).
+    Under a GSPMD mesh the H axis sharded over 'spatial' becomes the
+    shard-major factor of the merged batch axis (P(('spatial','data'))).
+    """
+    n, h = x.shape[0], x.shape[1]
+    assert h % sp == 0, (x.shape, sp)
+    xs = x.reshape((n, sp, h // sp) + x.shape[2:])
+    xs = jnp.moveaxis(xs, 1, 0)
+    return xs.reshape((sp * n, h // sp) + x.shape[2:])
+
+
+def merge_spatial(x: jnp.ndarray, sp: int) -> jnp.ndarray:
+    """Inverse of split_spatial: [sp*N, Hs, ...] -> [N, sp*Hs, ...]."""
+    ne, hs = x.shape[0], x.shape[1]
+    assert ne % sp == 0, (x.shape, sp)
+    xs = x.reshape((sp, ne // sp, hs) + x.shape[2:])
+    xs = jnp.moveaxis(xs, 0, 1)
+    return xs.reshape((ne // sp, sp * hs) + x.shape[2:])
 
 
 def nhwc_to_body(x: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
@@ -123,3 +180,45 @@ class FlatConvOp(nn.Module):
             mask_cotangent=False,  # model pipeline preserves the invariant
             act=self.act, lrn_size=self.lrn_size,
         )
+
+
+class _ConcatConvInner(nn.Module):
+    features: int
+    act: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, a, b, geom):
+        from msau_tpu.models.layers import tf_bias_init, tf_conv_kernel_init
+        from msau_tpu.ops.flatconv import flat_concat_conv1x1
+
+        cin = a.shape[1] + b.shape[1]
+        kernel = self.param(
+            "kernel", tf_conv_kernel_init(1, 1, cin, self.features),
+            (1, 1, cin, self.features))
+        bias = self.param("bias", tf_bias_init(), (self.features,))
+        dtype = self.dtype or a.dtype
+        return flat_concat_conv1x1(
+            a.astype(dtype), b.astype(dtype), kernel, bias, geom,
+            act=self.act)
+
+
+class ConcatConv1x1(nn.Module):
+    """Fused concat + 1x1 ConvBnLrnDrop for the coupling layers.
+
+    Computes act(conv1x1(concat([a, b], channels))) in ONE Pallas kernel
+    (flatconv.flat_concat_conv1x1) — the 2C concat is never materialized.
+    The param tree ("Conv_0/{kernel, bias}") matches the unfused
+    ConvBnLrnDrop so checkpoints and the torch transplant are unaffected.
+    Reference semantics: model/model.py:143-148, 246-252.
+    """
+
+    features: int
+    act: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, a, b, geom):
+        return _ConcatConvInner(
+            features=self.features, act=self.act, dtype=self.dtype,
+            name="Conv_0")(a, b, geom)

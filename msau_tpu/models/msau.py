@@ -167,16 +167,24 @@ class DownSamplingUNetBlock(nn.Module):
                 self.box_cfg,
             )(y, train=train, **({"geom": geom} if flat else {}))
             if self.use_prev_coupled:
-                y = jnp.concatenate(
-                    [prev_dw_h_convs[layer], y], axis=1 if flat else -1
-                )
-                y = ConvBnLrnDrop(
-                    features=feats,
-                    kernel_size=(1, 1),
-                    activation=self.activation,
-                    dtype=self.dtype,
-                    name=f"couple_conv_{layer}",
-                )(y, train=train, geom=geom)
+                if flat:
+                    # fused concat + 1x1 conv: the 2C concat is never
+                    # materialized (flatconv.flat_concat_conv1x1)
+                    from msau_tpu.models.flat_layers import ConcatConv1x1
+
+                    y = ConcatConv1x1(
+                        features=feats, act=self.activation,
+                        dtype=self.dtype, name=f"couple_conv_{layer}",
+                    )(prev_dw_h_convs[layer], y, geom)
+                else:
+                    y = jnp.concatenate([prev_dw_h_convs[layer], y], axis=-1)
+                    y = ConvBnLrnDrop(
+                        features=feats,
+                        kernel_size=(1, 1),
+                        activation=self.activation,
+                        dtype=self.dtype,
+                        name=f"couple_conv_{layer}",
+                    )(y, train=train, geom=geom)
             if layer > self.scale_space_num - 2:  # deepest scale only
                 # Reference dataflow (model/model.py:149-160): the attention
                 # output is stored in dw_h_convs (it feeds the NEXT stage's
@@ -296,16 +304,22 @@ class UpSamplingUNetBlock(nn.Module):
                 self.box_cfg,
             )(y, train=train, **({"geom": geom} if flat else {}))
             if self.use_prev_coupled:
-                y = jnp.concatenate(
-                    [prev_up_h_convs[layer], y], axis=1 if flat else -1
-                )
-                y = ConvBnLrnDrop(
-                    features=feats,
-                    kernel_size=(1, 1),
-                    activation=self.activation,
-                    dtype=self.dtype,
-                    name=f"couple_conv_{layer}",
-                )(y, train=train, geom=geom)
+                if flat:
+                    from msau_tpu.models.flat_layers import ConcatConv1x1
+
+                    y = ConcatConv1x1(
+                        features=feats, act=self.activation,
+                        dtype=self.dtype, name=f"couple_conv_{layer}",
+                    )(prev_up_h_convs[layer], y, geom)
+                else:
+                    y = jnp.concatenate([prev_up_h_convs[layer], y], axis=-1)
+                    y = ConvBnLrnDrop(
+                        features=feats,
+                        kernel_size=(1, 1),
+                        activation=self.activation,
+                        dtype=self.dtype,
+                        name=f"couple_conv_{layer}",
+                    )(y, train=train, geom=geom)
             up_h_convs[layer] = y
             x = y
             feats //= self.pool_size

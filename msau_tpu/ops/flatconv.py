@@ -68,12 +68,23 @@ DEFAULT_P = 2  # covers 3x3 d<=2, 4x4 d=1 and their transposed grads
 
 
 class FlatGeom(NamedTuple):
-    """Geometry of a body-flat tensor (one per U-Net scale)."""
+    """Geometry of a body-flat tensor (one per U-Net scale).
+
+    ``sp > 1`` marks a SPATIALLY SHARDED layout: H is the per-shard row
+    count, and tensors carry ``sp * n_images`` entries on the batch axis
+    in shard-major order (entry i*n + j = shard i of image j).  Flat ops
+    that read vertical halos wrap themselves in extend_shards /
+    shrink_shards so shard-boundary rows see their true neighbours (the
+    context-parallel analog for the chargrid, SURVEY.md §5.7); under a
+    GSPMD 'spatial' mesh axis the shard-shifted slices lower to
+    collective permutes.
+    """
 
     H: int
     W: int
     P: int
     tile_h: int  # rows per guard block; tile_h*Wp % 128 == 0, tile_h | H
+    sp: int = 1  # spatial shards sharing the image (H_global = sp * H)
 
     @property
     def Wp(self) -> int:
@@ -202,6 +213,55 @@ def from_body(x_body: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
 def body_mask(x_body: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
     """Re-zero guards and pad columns (cheap XLA pass; used on cotangents)."""
     return to_body(from_body(x_body, geom), geom)
+
+
+def extend_shards(x_body: jnp.ndarray, geom: FlatGeom):
+    """Spatially sharded halo exchange by EXTENSION (geom.sp > 1).
+
+    [sp*N, C, LB] shard-major -> ([sp*N, C, LB + 2S], geom_ext) where each
+    shard's tensor gains one guard-block's worth (tile_h rows) of its
+    neighbours' edge rows as REAL body rows of an (H + 2*tile_h)-row
+    geometry.  Ops computed on the extended form see true cross-shard
+    halos; shrink_shards slices the center back.  Because the halo rows
+    are ordinary body rows (not kernel-zeroed guard blocks), the conv
+    custom-VJPs produce their gradients, and the VJP of this function's
+    shard-shifted slices routes them back to the owning shard — no
+    kernel changes, and under a GSPMD 'spatial' mesh axis the shifts
+    lower to collective permutes (ppermute).  First/last shards get zero
+    halos (true image boundary, SAME-padding semantics).
+
+    Replaces the reference's nothing — it is single-device only
+    (model/training/trainer.py:59,114-120 caps area instead); this is
+    the TPU-native context-parallel analog (SURVEY.md §5.7).
+    """
+    sp = geom.sp
+    assert sp > 1, geom
+    ne, c, lb = x_body.shape
+    assert lb == geom.LB and ne % sp == 0, (x_body.shape, geom)
+    n = ne // sp
+    S = geom.S
+    body = x_body[:, :, S:lb - S]
+    x4 = body.reshape(sp, n, c, geom.H * geom.Wp)
+    tail = x4[:, :, :, -S:]
+    head = x4[:, :, :, :S]
+    prev = jnp.concatenate([jnp.zeros_like(tail[:1]), tail[:-1]], axis=0)
+    nxt = jnp.concatenate([head[1:], jnp.zeros_like(head[:1])], axis=0)
+    zeros = jnp.zeros_like(tail)
+    ext = jnp.concatenate([zeros, prev, x4, nxt, zeros], axis=3)
+    geom_ext = FlatGeom(geom.H + 2 * geom.tile_h, geom.W, geom.P,
+                        geom.tile_h, 1)
+    return ext.reshape(ne, c, geom_ext.LB), geom_ext
+
+
+def shrink_shards(y_ext: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
+    """Inverse of extend_shards' layout: slice the per-shard center rows
+    back out of the extended form and re-wrap them in zero guards."""
+    ne, c, lbe = y_ext.shape
+    S = geom.S
+    assert lbe == geom.LB + 2 * S, (y_ext.shape, geom)
+    body = y_ext[:, :, 2 * S: 2 * S + geom.H * geom.Wp]
+    z = jnp.zeros((ne, c, S), y_ext.dtype)
+    return jnp.concatenate([z, body, z], axis=2)
 
 
 class _ConvDims(NamedTuple):
@@ -933,6 +993,17 @@ def flat_conv2d(
     """
     kh, kw, cin, cout = w.shape
     assert x_body.shape[1] == cin, (x_body.shape, w.shape)
+    if geom.sp > 1 and kh > 1:
+        # spatially sharded layout: compute on the halo-extended form so
+        # vertical taps cross shard boundaries correctly (extend_shards);
+        # kh == 1 convs have no vertical halo and skip the round trip
+        xe, geom_ext = extend_shards(x_body, geom)
+        ye = flat_conv2d(
+            xe, w, b, geom_ext, dilation=dilation, padding=padding,
+            out_dtype=out_dtype, mask_cotangent=mask_cotangent,
+            vmem_budget=vmem_budget, act=act, lrn_size=lrn_size,
+            lrn_alpha=lrn_alpha, lrn_beta=lrn_beta, lrn_k=lrn_k)
+        return shrink_shards(ye, geom)
     if act in ("none", "identity"):
         act = None
     if padding == "SAME":
@@ -1307,3 +1378,216 @@ def body_lrn(x_body: jnp.ndarray, size: int, alpha: float = 1e-4,
     )
     denom = jnp.power(k + (alpha / size) * win, beta)
     return (x_body / denom.astype(x_body.dtype)).astype(x_body.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused concat + 1x1 conv (the coupling/merge pattern)
+# ---------------------------------------------------------------------------
+#
+# The MSAU coupling and up-tower merge layers are
+#     y = act(Conv1x1(concat([a, b], channels)))
+# (reference model/model.py:143-148, 242-252).  Materializing the 2C
+# concat costs two full HBM passes the 1x1 conv immediately re-reads; the
+# fused kernel reads a and b once and writes y once (3 passes vs 6), and
+# its backward recomputes the preactivation in VMEM while emitting
+# dxa/dxb plus revisit-accumulated dwa/dwb/db.
+
+
+def _cc_fwd_kernel(a_ref, b_ref, wa_ref, wb_ref, bias_ref, m_ref, o_ref, *,
+                   n_blk_g, g_blk, nb, act_name, precision):
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk_g - g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        act, _ = _act_pair(act_name)
+        for i in range(nb):
+            z = jax.lax.dot_general(
+                wa_ref[:], a_ref[i], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            z = z + jax.lax.dot_general(
+                wb_ref[:], b_ref[i], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            z = z + bias_ref[:]
+            if act is not None:
+                z = act(z)
+            o_ref[i] = (z * m_ref[:]).astype(o_ref.dtype)
+
+
+def _cc_bwd_kernel(a_ref, b_ref, g_ref, wa_ref, wb_ref, bias_ref, m_ref,
+                   da_ref, db_ref, dwa_ref, dwb_ref, dbias_ref, *,
+                   n_blk_g, g_blk, nb, act_name, precision):
+    ni = pl.program_id(0)
+    bi = pl.program_id(1)
+
+    # sequential-grid revisit accumulation (see _dw_kernel)
+    @pl.when(jnp.logical_and(ni == 0, bi == 0))
+    def _():
+        dwa_ref[:] = jnp.zeros_like(dwa_ref)
+        dwb_ref[:] = jnp.zeros_like(dwb_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk_g - g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        act, dact = _act_pair(act_name)
+        for i in range(nb):
+            g = g_ref[i].astype(jnp.float32)
+            if act is not None:
+                z = jax.lax.dot_general(
+                    wa_ref[:], a_ref[i], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+                z = z + jax.lax.dot_general(
+                    wb_ref[:], b_ref[i], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+                z = z + bias_ref[:]
+                g = g * dact(z)
+            g = g * m_ref[:]
+            gc = g.astype(a_ref.dtype)
+            da_ref[i] = jax.lax.dot_general(
+                wa_ref[:], gc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision).astype(da_ref.dtype)
+            db_ref[i] = jax.lax.dot_general(
+                wb_ref[:], gc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision).astype(db_ref.dtype)
+            dwa_ref[:] += jax.lax.dot_general(
+                a_ref[i], gc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            dwb_ref[:] += jax.lax.dot_general(
+                b_ref[i], gc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            dbias_ref[:] += jnp.sum(g, axis=1, keepdims=True)
+
+
+def _cc_specs(geom, ca, cb, cout, n, itemsize):
+    tile = _sub_tile(geom, ca + cb + cout, itemsize)
+    stride = tile * geom.Wp
+    g_blk = geom.tile_h // tile
+    n_blk = geom.H // tile + 2 * g_blk
+    nb = _batch_block(n, (ca + cb) * stride * itemsize,
+                      cout * stride * itemsize, 0)
+    return tile, stride, g_blk, n_blk, nb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _concat_conv1x1_prim(a, b, w, bias, geom: FlatGeom, act: Optional[str],
+                         out_dtype_name: str):
+    n, ca, lb = a.shape
+    cb = b.shape[1]
+    cout = w.shape[-1]
+    itemsize = a.dtype.itemsize
+    tile, stride, g_blk, n_blk, nb = _cc_specs(geom, ca, cb, cout, n,
+                                               itemsize)
+    w2 = w.reshape(ca + cb, cout)
+    wa = w2[:ca].astype(a.dtype)
+    wb = w2[ca:].astype(a.dtype)
+    kernel = functools.partial(
+        _cc_fwd_kernel, n_blk_g=n_blk, g_blk=g_blk, nb=nb, act_name=act,
+        precision=_dot_precision(a.dtype))
+    blk = lambda c: pl.BlockSpec((nb, c, stride), lambda ni, bi: (ni, 0, bi))
+    plan = _Plan(tile, stride, g_blk, n_blk, stride, 0, ca + cb)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nb, n_blk),
+        in_specs=[
+            blk(ca), blk(cb),
+            pl.BlockSpec((ca, cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cb, cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((1, stride), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=blk(cout),
+        out_shape=jax.ShapeDtypeStruct((n, cout, geom.LB),
+                                       jnp.dtype(out_dtype_name)),
+        interpret=_use_interpret(),
+    )(a, b, wa, wb, bias.reshape(-1, 1).astype(jnp.float32),
+      _col_mask(plan, geom))
+
+
+def _cc_vjp_fwd(a, b, w, bias, geom, act, out_dtype_name):
+    y = _concat_conv1x1_prim(a, b, w, bias, geom, act, out_dtype_name)
+    return y, (a, b, w, bias)
+
+
+def _cc_vjp_bwd(geom, act, out_dtype_name, res, g):
+    a, b, w, bias = res
+    n, ca, lb = a.shape
+    cb = b.shape[1]
+    cout = w.shape[-1]
+    itemsize = a.dtype.itemsize
+    tile, stride, g_blk, n_blk, nb = _cc_specs(geom, ca, cb, cout, n,
+                                               itemsize)
+    w2 = w.reshape(ca + cb, cout)
+    wa = w2[:ca].astype(a.dtype)
+    wb = w2[ca:].astype(a.dtype)
+    g = g.astype(a.dtype)
+    kernel = functools.partial(
+        _cc_bwd_kernel, n_blk_g=n_blk, g_blk=g_blk, nb=nb, act_name=act,
+        precision=_dot_precision(a.dtype))
+    blk = lambda c: pl.BlockSpec((nb, c, stride), lambda ni, bi: (ni, 0, bi))
+    plan = _Plan(tile, stride, g_blk, n_blk, stride, 0, ca + cb)
+    da, db, dwa, dwb, dbias = pl.pallas_call(
+        kernel,
+        grid=(n // nb, n_blk),
+        in_specs=[
+            blk(ca), blk(cb), blk(cout),
+            pl.BlockSpec((ca, cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cb, cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((1, stride), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=[
+            blk(ca), blk(cb),
+            pl.BlockSpec((ca, cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cb, cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ca, geom.LB), a.dtype),
+            jax.ShapeDtypeStruct((n, cb, geom.LB), b.dtype),
+            jax.ShapeDtypeStruct((ca, cout), jnp.float32),
+            jax.ShapeDtypeStruct((cb, cout), jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(a, b, g, wa, wb, bias.reshape(-1, 1).astype(jnp.float32),
+      _col_mask(plan, geom))
+    dw = jnp.concatenate([dwa, dwb], axis=0).reshape(w.shape).astype(w.dtype)
+    return da, db, dw, dbias.reshape(-1)
+
+
+_concat_conv1x1_prim.defvjp(_cc_vjp_fwd, _cc_vjp_bwd)
+
+
+def flat_concat_conv1x1(a, b, w, bias, geom: FlatGeom,
+                        act: Optional[str] = None, out_dtype=None):
+    """y = act(conv1x1(concat([a, b], channel axis))) without materializing
+    the concat: one fused Pallas kernel reads a and b and writes y (3 HBM
+    passes instead of 6), with a matching one-pass backward.
+
+    a: [N, Ca, LB], b: [N, Cb, LB], w: [1, 1, Ca+Cb, Cout] (flax HWIO).
+    Covers the coupling / up-merge layers (reference model/model.py:
+    143-148, 242-252).  Spatially sharded geometries need no halo (1x1).
+    """
+    assert w.shape[:2] == (1, 1) and w.shape[2] == a.shape[1] + b.shape[1]
+    if act in ("none", "identity"):
+        act = None
+    out_dtype_name = jnp.dtype(out_dtype or a.dtype).name
+    if act not in (None, "relu", "elu"):
+        y = _concat_conv1x1_prim(a, b, w, bias, geom, None, out_dtype_name)
+        from msau_tpu.models.layers import get_activation
+
+        return get_activation(act)(y)
+    return _concat_conv1x1_prim(a, b, w, bias, geom, act, out_dtype_name)

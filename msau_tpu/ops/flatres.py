@@ -635,6 +635,8 @@ def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
                         vmem_budget: int = 12 * 2**20) -> bool:
     if filter_size != 3 or res_depth != 2 or activation not in ("relu", "elu"):
         return False
+    if geom.sp > 1:
+        return False  # see flat_res_block: edge-row semantics
     if itemsize != 2 and not _use_interpret():
         return False  # see _BWD_ROW_ELEMS_BOUND: f32 OOMs at every tile
     try:
@@ -650,7 +652,6 @@ def fused_res_supported(geom: FlatGeom, c: int, filter_size: int,
     return c * (bwd.tile + 8) * geom.Wp <= _BWD_ROW_ELEMS_BOUND
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flat_res_block(x, w1, b1, w2, b2, geom: FlatGeom, activation: str,
                    mask_cotangent: bool = True):
     """Fused residual block on a body-flat tensor (see module docstring).
@@ -659,7 +660,29 @@ def flat_res_block(x, w1, b1, w2, b2, geom: FlatGeom, activation: str,
     ``mask_cotangent=False`` skips the defensive guard re-zeroing of the
     incoming cotangent (safe inside the model's body algebra — see
     flatconv._flat_conv_bwd for the invariant argument).
+
+    On a spatially sharded geometry (geom.sp > 1) the block runs on the
+    halo-extended form (flatconv.extend_shards) so both convs see true
+    cross-shard rows; gradients route back through the extension's VJP.
     """
+    if geom.sp > 1:
+        # The fused kernel zeroes conv1's virtual rows outside [0, H) —
+        # on the halo-EXTENDED geometry that range admits the zero halo
+        # rows at true image edges, where conv1 must be exactly 0 (SAME
+        # semantics) but evaluates to act(b1).  Until the kernels take
+        # per-entry valid-row bounds, sharded res blocks run as two
+        # flat_conv2d calls (each extends itself; exactly correct —
+        # fused_res_supported gates the model path accordingly).
+        raise ValueError(
+            "fused flat_res_block does not support spatially sharded "
+            "geometries (geom.sp > 1); compose from flat_conv2d instead")
+    return _flat_res_fused(x, w1, b1, w2, b2, geom, activation,
+                           mask_cotangent)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flat_res_fused(x, w1, b1, w2, b2, geom: FlatGeom, activation: str,
+                    mask_cotangent: bool = True):
     return _fused_fwd_call(x, w1, b1, w2, b2, geom, activation)
 
 
@@ -788,7 +811,7 @@ def _fused_vjp_bwd(geom, activation, mask_cotangent, res, g):
             dw2, db2.reshape(-1).astype(jnp.float32))
 
 
-flat_res_block.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+_flat_res_fused.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
 def flat_res_block_reference(x, w1, b1, w2, b2, geom: FlatGeom,

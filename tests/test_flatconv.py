@@ -393,8 +393,13 @@ def test_geometry_respects_dtype_vmem_budget():
                      if g.H % t == 0 and (t * g.Wp) % 128 == 0]
             assert 9 * cin * min(valid) * g.Wp * itemsize <= VMEM_XS_BUDGET, (
                 itemsize, s, g)
-    # the tuned bf16 flagship geometry must stay put
-    assert make_scale_geoms(512, 512, 2, 2)[0] == (512, 512, 2, 32)
+    # the tuned bf16 flagship geometries must stay put: scale 0 is the
+    # lane-ALIGNED Wp=640 form (round-4 device-trace calibration), deeper
+    # scales keep the minimal-halo classic form
+    assert make_scale_geoms(512, 512, 2, 2)[0] == (512, 512, 64, 32, 1)
+    assert make_scale_geoms(512, 512, 2, 2)[1][:4] == (256, 256, 4, 32)
+    assert make_scale_geoms(512, 512, 2, 2, align_scales=0)[0][:4] == (
+        512, 512, 2, 32)
 
 
 def test_body_loss_boundary_matches_nhwc():
