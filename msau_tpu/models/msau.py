@@ -121,7 +121,9 @@ class DownSamplingUNetBlock(nn.Module):
                 if not flat_eligible(x.shape[-1], k[0], k[1], geom, itemsize):
                     # conv (+ LRN) in XLA for the wide-cin entry, then
                     # convert once; moving the LRN to the body form was
-                    # measured slower (XLA fuses it into the conv here)
+                    # measured slower (XLA fuses it into the conv here).
+                    # The NHWC conv runs on the GLOBAL image (correct
+                    # halos), so a sharded geometry splits only after.
                     x = DilConvBnLrnDrop(
                         features=feats,
                         kernel_size=k,
@@ -131,12 +133,20 @@ class DownSamplingUNetBlock(nn.Module):
                         dtype=self.dtype,
                         name=f"dil_conv_{layer}",
                     )(x, train=train)
+                    if geom.sp > 1:
+                        from msau_tpu.models.flat_layers import split_spatial
+
+                        x = split_spatial(x, geom.sp)
                     y = nhwc_to_body(x, geom)
                 else:
                     # cast BEFORE the layout change: the raw one-hot input
                     # is f32 and the to_body transpose is bandwidth-bound
                     # (4.3 GB at bs=16 512^2x64 in f32, half that in bf16)
                     xin = x if self.dtype is None else x.astype(self.dtype)
+                    if geom.sp > 1:
+                        from msau_tpu.models.flat_layers import split_spatial
+
+                        xin = split_spatial(xin, geom.sp)
                     y = DilConvBnLrnDrop(
                         features=feats,
                         kernel_size=k,
@@ -211,6 +221,15 @@ class DownSamplingUNetBlock(nn.Module):
                         x = pooled
                     else:
                         x = body_to_nhwc(pooled, geoms[layer + 1])
+                        if geoms[layer + 1].sp > 1:
+                            # deepest NHWC scales (attention) see the
+                            # merged GLOBAL image; under a 'spatial' mesh
+                            # axis GSPMD keeps H sharded across it
+                            from msau_tpu.models.flat_layers import (
+                                merge_spatial,
+                            )
+
+                            x = merge_spatial(x, geoms[layer + 1].sp)
                 else:
                     x = nn.max_pool(
                         y,
@@ -264,6 +283,10 @@ class UpSamplingUNetBlock(nn.Module):
                 from msau_tpu.models.flat_layers import nhwc_to_body
 
                 if x.ndim == 4:  # crossing NHWC -> flat (layer == fs-1)
+                    if geoms[layer + 1].sp > 1:
+                        from msau_tpu.models.flat_layers import split_spatial
+
+                        x = split_spatial(x, geoms[layer + 1].sp)
                     x = nhwc_to_body(x, geoms[layer + 1])
                 target_hw = (geom.H, geom.W)
                 y = DeconvBnLrnDrop(
@@ -457,11 +480,28 @@ class MSAUNet(nn.Module):
             )
             assert self.block_variant == "conv" and not cfg.use_spn
             itemsize = 2 if dtype == jnp.bfloat16 else 4
+            sp = max(int(getattr(cfg, "spatial_shards", 1) or 1), 1)
             try:
-                geoms = tuple(make_scale_geoms(
-                    x.shape[1], x.shape[2], fs + 1, itemsize, cfg.pool_size,
-                    feat_root=cfg.feat_root, n_class=cfg.n_class,
-                ))
+                if sp > 1:
+                    # spatially sharded flat scales: per-shard geometries
+                    # over H/sp rows; the batch axis carries sp*N entries
+                    # shard-major (flatconv.FlatGeom.sp); halo exchange is
+                    # handled inside the flat ops via extend_shards
+                    if x.shape[1] % sp:
+                        raise ValueError(
+                            f"H={x.shape[1]} not divisible by "
+                            f"spatial_shards={sp}")
+                    geoms = tuple(
+                        g._replace(sp=sp) for g in make_scale_geoms(
+                            x.shape[1] // sp, x.shape[2], fs + 1, itemsize,
+                            cfg.pool_size, feat_root=cfg.feat_root,
+                            n_class=cfg.n_class))
+                else:
+                    geoms = tuple(make_scale_geoms(
+                        x.shape[1], x.shape[2], fs + 1, itemsize,
+                        cfg.pool_size,
+                        feat_root=cfg.feat_root, n_class=cfg.n_class,
+                    ))
             except ValueError:
                 # no 128-aligned flat tiling exists at this resolution
                 # (e.g. odd widths): fall back to the all-NHWC layout.
@@ -520,10 +560,28 @@ class MSAUNet(nn.Module):
                 out = from_body(out, geoms[0])
                 if logits_aux is not None:
                     logits_aux = from_body(logits_aux, geoms[0])
+                if geoms[0].sp > 1:
+                    sp0 = geoms[0].sp
+
+                    def _merge_nchw(t):
+                        ne, c, hs, w = t.shape
+                        t = t.reshape(sp0, ne // sp0, c, hs, w)
+                        return jnp.moveaxis(t, 0, 2).reshape(
+                            ne // sp0, c, sp0 * hs, w)
+
+                    out = _merge_nchw(out)
+                    if logits_aux is not None:
+                        logits_aux = _merge_nchw(logits_aux)
             else:
                 out = body_to_nhwc(out, geoms[0])
                 if logits_aux is not None:
                     logits_aux = body_to_nhwc(logits_aux, geoms[0])
+                if geoms[0].sp > 1:
+                    from msau_tpu.models.flat_layers import merge_spatial
+
+                    out = merge_spatial(out, geoms[0].sp)
+                    if logits_aux is not None:
+                        logits_aux = merge_spatial(logits_aux, geoms[0].sp)
         elif logits_layout == "NCHW":
             out = jnp.transpose(out, (0, 3, 1, 2))
             if logits_aux is not None:

@@ -82,19 +82,28 @@ def make_train_step(
             # body-flat logits: move labels/valid into body columns; pads
             # and guards become label 0 / valid False, exactly the
             # masked-out set (shapes are static at trace time)
-            from msau_tpu.models.flat_layers import make_scale_geoms
+            from msau_tpu.models.flat_layers import (
+                make_scale_geoms,
+                split_spatial,
+            )
             from msau_tpu.ops.flatconv import to_body
 
             cfg = model.config
             n, h, w, _ = batch["input"].shape
             itemsize = 2 if cfg.dtype == "bfloat16" else 4
+            sp = max(int(getattr(cfg, "spatial_shards", 1) or 1), 1)
             geom0 = make_scale_geoms(
-                h, w, cfg.flat_scales + 1, itemsize, cfg.pool_size,
+                h // sp, w, cfg.flat_scales + 1, itemsize, cfg.pool_size,
                 feat_root=cfg.feat_root, n_class=cfg.n_class,
             )[0]
-            labels = to_body(labels[:, None], geom0)[:, 0]
             if valid is None:
                 valid = jnp.ones((n, h, w), bool)
+            if sp > 1:
+                # BODY logits arrive shard-major ([sp*N, C, LBs]); move
+                # labels/valid into the same representation
+                labels = split_spatial(labels, sp)
+                valid = split_spatial(valid, sp)
+            labels = to_body(labels[:, None], geom0)[:, 0]
             valid = to_body(valid[:, None], geom0)[:, 0]
             caxis = 1
         else:
@@ -171,16 +180,19 @@ class Trainer:
             and "spatial" in mesh.axis_names
             and mesh.shape["spatial"] > 1
             and getattr(model_config, "flat_scales", 0) > 0
+            and getattr(model_config, "spatial_shards", 1)
+            != mesh.shape["spatial"]
         ):
-            # Documented constraint: the body-flat layout linearizes H*W onto
-            # the lane axis (ops/flatconv.py), so sharding H over a 'spatial'
-            # mesh axis would make GSPMD all-gather every to_body/from_body
-            # reshape — the layout and the sharding have never met at a
-            # supported shape (VERDICT r2 missing #3).  Spatial sharding runs
-            # the NHWC graph; the flat fast path supports data parallelism.
+            # The flat layout composes with spatial sharding through the
+            # shard-major batch representation (ModelConfig.spatial_shards
+            # + FlatGeom.sp + flatconv.extend_shards halo exchange) — but
+            # the model must be BUILT for the mesh's shard count so the
+            # per-shard geometries and the entry split match the mesh.
             raise ValueError(
-                "flat_scales > 0 is incompatible with a spatial-sharded mesh; "
-                "use flat_scales=0 for spatial sharding, or a pure data mesh"
+                "flat_scales > 0 on a spatial-sharded mesh requires "
+                f"model_config.spatial_shards == mesh spatial size "
+                f"({mesh.shape['spatial']}); got "
+                f"{getattr(model_config, 'spatial_shards', 1)}"
             )
         self.model = build_model(model_config)
         self.optimizer = make_optimizer(self.cfg)
