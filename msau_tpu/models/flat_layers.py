@@ -119,8 +119,13 @@ def merge_spatial(x: jnp.ndarray, sp: int) -> jnp.ndarray:
 
 
 def nhwc_to_body(x: jnp.ndarray, geom: FlatGeom) -> jnp.ndarray:
-    from msau_tpu.ops.flatconv import to_body
+    from msau_tpu.ops.flatconv import to_body, to_body_nhwc_fused
 
+    # one-pass Pallas conversion when the shape admits it (the XLA chain
+    # is transpose + pad + relayout + guard pad, ~4 full HBM passes)
+    y = to_body_nhwc_fused(x, geom)
+    if y is not None:
+        return y
     return to_body(jnp.transpose(x, (0, 3, 1, 2)), geom)
 
 

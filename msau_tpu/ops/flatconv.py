@@ -1591,3 +1591,87 @@ def flat_concat_conv1x1(a, b, w, bias, geom: FlatGeom,
 
         return get_activation(act)(y)
     return _concat_conv1x1_prim(a, b, w, bias, geom, act, out_dtype_name)
+
+
+# ---------------------------------------------------------------------------
+# One-pass NHWC -> body entry conversion
+# ---------------------------------------------------------------------------
+#
+# The model entry converts the [N, H, W, C] chargrid into body-flat form.
+# As XLA ops (transpose + pad + relayout-reshape + guard pad) this costs
+# 4 full HBM passes (~7.7 ms/step at the flagship shape); the Pallas
+# kernel does the transpose in VMEM and writes the padded body layout
+# directly — one read of x, one write of the body tensor.
+
+
+def _to_body_kernel(x_ref, eye_ref, o_ref, *, tile, w, wp, c, n_h):
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < 1, bi >= n_h + 1)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        v = x_ref[0].reshape(tile * w, c)  # [tile*W, C]
+        # transpose on the MXU: identity contraction is exact for bf16
+        # and runs at matmul speed; the VPU jnp.transpose lowering was
+        # measured 3x slower than the whole conversion's stream SoL
+        t = jax.lax.dot_general(
+            eye_ref[:], v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(v.dtype)).astype(o_ref.dtype)
+        for r in range(tile):
+            o_ref[0, :, r * wp: r * wp + w] = t[:, r * w: (r + 1) * w]
+            o_ref[0, :, r * wp + w: (r + 1) * wp] = jnp.zeros(
+                (c, wp - w), o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _to_body_nhwc_prim(x, geom: FlatGeom, out_dtype_name: str):
+    n, h, w, c = x.shape
+    tile = geom.tile_h
+    kernel = functools.partial(_to_body_kernel, tile=tile, w=w,
+                               wp=geom.Wp, c=c, n_h=geom.n_h)
+
+    def x_index(ni, bi):
+        return (ni, jnp.clip(bi - 1, 0, geom.n_h - 1), 0, 0)
+
+    eye = jnp.eye(c, dtype=x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, geom.n_h + 2),
+        in_specs=[pl.BlockSpec((1, tile, w, c), x_index),
+                  pl.BlockSpec((c, c), lambda ni, bi: (0, 0))],
+        out_specs=pl.BlockSpec((1, c, geom.S), lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, c, geom.LB),
+                                       jnp.dtype(out_dtype_name)),
+        interpret=_use_interpret(),
+    )(x, eye)
+
+
+def _to_body_nhwc_fwd(x, geom, out_dtype_name):
+    return _to_body_nhwc_prim(x, geom, out_dtype_name), None
+
+
+def _to_body_nhwc_bwd(geom, out_dtype_name, _res, g):
+    dx = jnp.transpose(from_body(g, geom), (0, 2, 3, 1))
+    return (dx.astype(jnp.dtype(out_dtype_name)),)
+
+
+_to_body_nhwc_prim.defvjp(_to_body_nhwc_fwd, _to_body_nhwc_bwd)
+
+
+def to_body_nhwc_fused(x: jnp.ndarray, geom: FlatGeom):
+    """[N, H, W, C] -> body-flat [N, C, LB] in one Pallas pass, or None if
+    the shape doesn't fit the kernel's constraints (caller falls back to
+    the XLA to_body(transpose(x)) path)."""
+    n, h, w, c = x.shape
+    if (h, w) != (geom.H, geom.W):
+        return None
+    if w % 128 or geom.Wp % 128 or c % 8:
+        return None  # aligned slice writes + whole-lane transpose only
+    if geom.tile_h * w * c * x.dtype.itemsize > 8 * 2**20:
+        return None
+    return _to_body_nhwc_prim(x, geom, jnp.dtype(x.dtype).name)
