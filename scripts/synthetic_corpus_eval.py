@@ -46,6 +46,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0,
                     help="model-init PRNG seed (corpus stays fixed, so "
                     "seed sweeps estimate training-run variance)")
+    ap.add_argument("--train_pages", type=int, default=0)
+    ap.add_argument("--test_pages", type=int, default=0,
+                    help="held-out pages (VERDICT r3 #5: 50+ pages / "
+                    "~400 fields for a statistically real F1)")
+    ap.add_argument("--model", default="msau", choices=["msau", "msau_box"],
+                    help="msau_box = BMSAU box-convolution variant "
+                    "(reference model/model_box.py:313-406)")
     args = ap.parse_args(argv)
     quick = args.quick or args.smoke
 
@@ -83,6 +90,10 @@ def main(argv=None):
         n_train, n_test = 6, 3
     else:
         n_train, n_test = 40, 12
+    if args.train_pages:
+        n_train = args.train_pages
+    if args.test_pages:
+        n_test = args.test_pages
     out_dir = tempfile.mkdtemp(prefix="msau_corpus_")
     train_paths, test_paths, charset_path = write_corpus(
         out_dir, n_train, n_test, rng
@@ -131,11 +142,12 @@ def main(argv=None):
           f"(shapes: {sorted(by_shape)})")
 
     mc = ModelConfig(
+        model=args.model,
         img_channels=kv.charset.n_token, n_class=n_class,
         scale_space_num=3, res_depth=2, feat_root=8,
         num_blocks=1 if quick else 2,
         dtype="bfloat16" if args.dtype == "bf16" else "float32",
-        flat_scales=args.flat,
+        flat_scales=args.flat if args.model == "msau" else 0,
     )
     model = build_model(mc)
     params = model.init(jax.random.PRNGKey(args.seed), batches[0][0][:1])
@@ -180,6 +192,26 @@ def main(argv=None):
                   f"acc {float(metrics['accuracy']):.3f}")
     print(f"trained in {time.time() - t0:.1f}s")
 
+    box_drift = None
+    if args.model == "msau_box":
+        # VERDICT r3 #3: the analytic box-coordinate gradients through the
+        # banded-matmul form must actually MOVE the learned boxes
+        import flax
+
+        p0 = flax.traverse_util.flatten_dict(
+            model.init(jax.random.PRNGKey(args.seed), batches[0][0][:1]))
+        p1 = flax.traverse_util.flatten_dict(params)
+        drifts = []
+        for k, v0 in p0.items():
+            if any("box" in str(part).lower() for part in k):
+                v1 = p1[k]
+                drifts.append(float(jnp.sqrt(jnp.mean(
+                    (jnp.asarray(v1, jnp.float32)
+                     - jnp.asarray(v0, jnp.float32)) ** 2))))
+        box_drift = float(np.mean(drifts)) if drifts else 0.0
+        print(f"box-coordinate RMS drift over training: {box_drift:.4f} "
+              f"({len(drifts)} box param tensors)")
+
     # serve through the NHWC/f32 graph regardless of the training layout
     # (KVModel.load strips flat_scales the same way); param trees are
     # layout-independent so the trained params drop straight in
@@ -192,6 +224,36 @@ def main(argv=None):
     _, eval_results, summary = kv.run_test(
         test_paths, label_dir=out_dir
     )
+
+    # per-pixel micro metrics on the held-out pages (reference
+    # train_chargrid_funsd_msau.py:148-163 definition): non-background
+    # pixels of the rasterized label vs the served argmax map
+    tp = fp = fn = 0
+    for path in test_paths:
+        page = load_label_json_page(path)
+        page = dataclasses.replace(
+            page,
+            lines=[
+                dataclasses.replace(l, label=(l.value + 1 if l.value > 0
+                                              else 0))
+                for l in page.lines
+            ],
+        )
+        x, line_id, char_id, scaled, progs = kv.rasterize(page)
+        hb, wb = x.shape[:2]
+        lab = progs.label.padded(
+            round_up(max(len(progs.label.values), 1), 128))
+        label = np.asarray(paint_boxes(jnp.asarray(lab.boxes),
+                                       jnp.asarray(lab.values), hb, wb))
+        probs = kv.forward(kv.params, jnp.asarray(x)[None])
+        pred = np.asarray(jnp.argmax(probs[0], axis=-1))
+        nz = label != 0
+        tp += int(((pred == label) & nz).sum())
+        fn += int(((pred != label) & nz).sum())
+        fp += int(((pred != label) & (pred != 0)).sum())
+    pix_p = tp / max(tp + fp, 1)
+    pix_r = tp / max(tp + fn, 1)
+    print(f"pixel micro precision {pix_p:.4f} recall {pix_r:.4f}")
     result = {
         "metric": "held-out synthetic corpus field F1",
         "train_pages": n_train,
@@ -200,6 +262,11 @@ def main(argv=None):
         "flat_scales": args.flat,
         "epochs": epochs,
         "seed": args.seed,
+        "model": args.model,
+        "pixel_precision": round(pix_p, 4),
+        "pixel_recall": round(pix_r, 4),
+        **({"box_drift": round(box_drift, 5)} if box_drift is not None
+           else {}),
         **{k: round(v, 4) for k, v in summary.items()},
     }
     print(json.dumps(result))
