@@ -76,7 +76,17 @@ class KVModel:
         n_class: Optional[int] = None,
         params=None,
         model_kwargs_path: Optional[str] = None,
+        warmup=None,
     ) -> "KVModel":
+        """Load weights/charset/config (reference inference/kv_model.py:37-57).
+
+        ``warmup``: bucket size(s) to pre-compile the fused serve program
+        for (int or iterable, e.g. ``warmup=512`` or ``warmup=(256, 512)``)
+        — the first request otherwise pays the full paint->forward->decode
+        compile (cold-start; measured in scripts/bench_serve_coldstart.py).
+        With the persistent compilation cache the warmup itself is fast
+        after the first process ever to compile that bucket.
+        """
         if charset is not None:
             self.charset = Charset.from_file(charset, specials=INFER_SPECIALS)
         if n_class is not None:
@@ -124,7 +134,27 @@ class KVModel:
             ref = self.model.init(jax.random.PRNGKey(0), sample)
             restored = ckptr.restore(os.path.abspath(model_weight), ref)
             self.params = restored
+        if warmup is not None and self.params is not None:
+            sizes = (warmup,) if isinstance(warmup, int) else tuple(warmup)
+            for hb in sizes:
+                self.warmup_bucket(hb)
         return self
+
+    def warmup_bucket(self, hb: int, wb: Optional[int] = None) -> None:
+        """Pre-compile + pre-execute the fused serve program for one
+        bucket shape so the first real request serves at steady-state
+        latency.  Runs a tiny synthetic page through ``predict``."""
+        from msau_tpu.data.pages import Line, Page
+
+        wb = wb or hb
+        # one line somewhere in the bucket's coordinate range; the serve
+        # graph shape depends only on (hb, wb) and padded table sizes
+        page = Page(
+            lines=[Line(box=(10, 10, wb, 40), text="warm", label=2,
+                        value=1)],
+            img_shape=(hb * 3, wb * 3),
+        )
+        self.predict(page, buckets=(hb,))
 
     # ------------------------------------------------------------------
     def forward(self, params, x: jnp.ndarray) -> jnp.ndarray:
