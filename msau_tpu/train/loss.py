@@ -78,6 +78,27 @@ def masked_cross_entropy(
     if valid is not None:
         mask = mask & valid
     denom = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+    if channel_axis == 1 and logits.ndim == 3:
+        # body-form logits: ONE fused Pallas pass per head computes the
+        # masked CE sum + the non-background correct count, and its
+        # backward writes dlogits in one read+write (ops/ce_loss.py) —
+        # replaces the f32 log-softmax materializations (~6.5 ms/step at
+        # the flagship shape).
+        from msau_tpu.ops.ce_loss import fused_masked_ce_sum
+
+        maskf = mask.astype(jnp.float32)
+        lab32 = labels.astype(jnp.int32)
+        s1, c1 = fused_masked_ce_sum(logits, lab32, maskf)
+        s2, _ = fused_masked_ce_sum(aux_logits, lab32, maskf)
+        ce, ce_aux = s1 / denom, s2 / denom
+        loss = ce + ce_aux
+        metrics = {
+            "loss": loss,
+            "loss_final": ce,
+            "loss_aux": ce_aux,
+            "accuracy": c1 / denom,
+        }
+        return loss, metrics
     ce = jnp.sum(jnp.where(
         mask, _per_pixel_ce(logits, labels, channel_axis), 0.0)) / denom
     ce_aux = jnp.sum(jnp.where(

@@ -175,3 +175,36 @@ class TestCCL:
         top = {k: np.asarray(v) for k, v in top_k_components(component_stats(labels), k=4).items()}
         assert top["valid"].sum() == 3
         assert list(top["bbox_area"][:3]) == [18, 18, 1]
+
+
+def test_fused_masked_ce_matches_generic():
+    """ops/ce_loss.py fused path == the generic log-softmax path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msau_tpu.train.loss import masked_cross_entropy
+
+    n, c, L = 2, 5, 1536
+    logits = jax.random.normal(jax.random.PRNGKey(0), (n, c, L))
+    aux = jax.random.normal(jax.random.PRNGKey(1), (n, c, L))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (n, L), 0, c)
+    valid = jax.random.bernoulli(jax.random.PRNGKey(3), 0.8, (n, L))
+
+    loss1, m1 = masked_cross_entropy(logits, aux, labels, valid,
+                                     channel_axis=1)
+    # oracle: same math through the generic 4-D branch
+    loss2, m2 = masked_cross_entropy(
+        logits[..., None], aux[..., None], labels[..., None],
+        valid[..., None], channel_axis=1)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["accuracy"]),
+                               float(m2["accuracy"]), rtol=1e-6)
+
+    g1 = jax.grad(lambda lg: masked_cross_entropy(
+        lg, aux, labels, valid, channel_axis=1)[0])(logits)
+    g2 = jax.grad(lambda lg: masked_cross_entropy(
+        lg[..., None], aux[..., None], labels[..., None],
+        valid[..., None], channel_axis=1)[0])(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-7)
