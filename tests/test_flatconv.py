@@ -550,3 +550,25 @@ def test_fused_epilogue_chunked_fallback():
     ref = _epi_oracle(xb, wk, b, geom, "relu", cout, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_to_body_nhwc_fused_matches_xla():
+    """One-pass entry conversion == to_body(transpose), values and grads."""
+    from msau_tpu.ops.flatconv import FlatGeom, to_body, to_body_nhwc_fused
+
+    geom = FlatGeom(64, 128, 64, 8)  # Wp = 256, aligned
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 128, 16))
+    y1 = to_body_nhwc_fused(x, geom)
+    y2 = to_body(jnp.transpose(x, (0, 3, 1, 2)), geom)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    g1 = jax.grad(lambda x: jnp.sum(jnp.sin(
+        to_body_nhwc_fused(x, geom))))(x)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.sin(
+        to_body(jnp.transpose(x, (0, 3, 1, 2)), geom))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+    # shape gate: non-128-multiple W falls back to None
+    assert to_body_nhwc_fused(
+        jax.random.normal(jax.random.PRNGKey(1), (1, 32, 48, 8)),
+        FlatGeom(32, 48, 2, 32)) is None
