@@ -1672,6 +1672,12 @@ def to_body_nhwc_fused(x: jnp.ndarray, geom: FlatGeom):
         return None
     if w % 128 or geom.Wp % 128 or c % 8:
         return None  # aligned slice writes + whole-lane transpose only
-    if geom.tile_h * w * c * x.dtype.itemsize > 8 * 2**20:
+    # scoped-VMEM estimate, calibrated on measured Mosaic compiles:
+    # ~12 bytes per input block element (bf16 in/out double buffers +
+    # two f32 transpose temporaries).  512^2 tile 32 C=64 (base 1.05M ->
+    # ~12.6M) compiles; 1024^2 tile 32 (base 2.1M) measured 25M scoped
+    # and must fall back to the XLA chain.
+    base = geom.tile_h * w * c
+    if base * 12 > 15 * 2**20:
         return None
     return _to_body_nhwc_prim(x, geom, jnp.dtype(x.dtype).name)
