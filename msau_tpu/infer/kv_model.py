@@ -289,8 +289,11 @@ class KVModel:
         # fed by ONE packed upload, answered by ONE packed fetch
         cap, lcap = arrays[1].shape[0], arrays[3].shape[0]
         buf = np.concatenate([np.asarray(a).ravel() for a in arrays])
+        # the np buffer rides the dispatch (implicit transfer) instead of a
+        # separate synchronous jnp.asarray upload — measured ~2 ms/request
+        # on the tunneled backend (scripts/exp_serve_upload.py)
         packed, pred, chosen = self._serve_fn()(
-            self.params, jnp.asarray(buf),
+            self.params, buf,
             hb=hb, wb=wb, num_lines=num_lines, cap=cap, lcap=lcap,
         )
         host = unpack_decode_out(np.asarray(packed), self.n_class, 8, num_lines)

@@ -208,6 +208,49 @@ class _ConcatConvInner(nn.Module):
             act=self.act)
 
 
+class _ConcatConvKxKInner(nn.Module):
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, a, b, geom):
+        from msau_tpu.models.layers import tf_bias_init, tf_conv_kernel_init
+        from msau_tpu.ops.flatconv import flat_concat_conv2d
+
+        cin = a.shape[1] + b.shape[1]
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", tf_conv_kernel_init(kh, kw, cin, self.features),
+            (kh, kw, cin, self.features))
+        bias = self.param("bias", tf_bias_init(), (self.features,))
+        dtype = self.dtype or a.dtype
+        return flat_concat_conv2d(
+            a.astype(dtype), b.astype(dtype), kernel, bias, geom,
+            mask_cotangent=False)  # model pipeline preserves the invariant
+
+
+class ConcatConvKxK(nn.Module):
+    """Fused concat + KxK conv (no activation) for the up-tower merge.
+
+    Computes conv_KxK(concat([skip, deconv_out], channels)) in one Pallas
+    kernel (flatconv.flat_concat_conv2d) — the 2C concat is never
+    materialized, and the backward emits the two branch cotangents
+    directly.  Param tree ("Conv_0/{kernel, bias}") matches the unfused
+    ConvBnLrnDrop.  Reference semantics: model/model.py:228-243.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, a, b, geom):
+        return _ConcatConvKxKInner(
+            features=self.features, kernel_size=self.kernel_size,
+            dtype=self.dtype, name="Conv_0")(a, b, geom)
+
+
 class ConcatConv1x1(nn.Module):
     """Fused concat + 1x1 ConvBnLrnDrop for the coupling layers.
 

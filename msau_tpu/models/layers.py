@@ -262,12 +262,21 @@ class DeconvBnLrnDrop(nn.Module):
                 _upsample_tiles,
                 body_upsample2,
                 flat_conv2d,
+                flat_deconv2,
                 flat_upsample2,
             )
 
             assert kh % 2 == 1 and kw % 2 == 1 and s == 2
             assert (geom_out.H, geom_out.W) == (th, tw)
             dtype = self.dtype or x.dtype
+            if (kh, kw) == (3, 3) and self.activation is None \
+                    and not self.use_lrn:
+                # fully fused transposed conv: the zero-inserted
+                # intermediate never touches HBM (flat_deconv2)
+                y = flat_deconv2(x.astype(dtype), kernel, bias,
+                                 geom_in, geom_out)
+                if y is not None:
+                    return y
             if _upsample_tiles(geom_in, geom_out) is not None:
                 # one Pallas kernel, no NCHW round trip (see flat_upsample2)
                 up = flat_upsample2(x.astype(dtype), geom_in, geom_out)

@@ -297,7 +297,14 @@ class UpSamplingUNetBlock(nn.Module):
                     dtype=self.dtype,
                     name=f"deconv_{layer}",
                 )(x, target_hw, geom_in=geoms[layer + 1], geom_out=geom)
-                y = jnp.concatenate([skip, y], axis=1)
+                # fused concat + KxK merge conv: the 2C concat is never
+                # materialized (flatconv.flat_concat_conv2d)
+                from msau_tpu.models.flat_layers import ConcatConvKxK
+
+                y = ConcatConvKxK(
+                    features=feats, kernel_size=k, dtype=self.dtype,
+                    name=f"merge_conv_{layer}",
+                )(skip, y, geom)
             else:
                 target_hw = (skip.shape[1], skip.shape[2])
                 y = DeconvBnLrnDrop(
@@ -309,13 +316,13 @@ class UpSamplingUNetBlock(nn.Module):
                     name=f"deconv_{layer}",
                 )(x, target_hw)
                 y = jnp.concatenate([skip, y], axis=-1)
-            y = ConvBnLrnDrop(
-                features=feats,
-                kernel_size=k,
-                activation=None,
-                dtype=self.dtype,
-                name=f"merge_conv_{layer}",
-            )(y, train=train, geom=geom)
+                y = ConvBnLrnDrop(
+                    features=feats,
+                    kernel_size=k,
+                    activation=None,
+                    dtype=self.dtype,
+                    name=f"merge_conv_{layer}",
+                )(y, train=train, geom=geom)
             y = _make_res_block(
                 self.block_variant,
                 feats,

@@ -469,14 +469,33 @@ def _epilogue_fwd(acc, b_ref, M_ref, act_name, lrn,
     return y
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, *rest, plan: _Plan, offs,
-                dims: _ConvDims, cin: int, cout: int, nb: int, precision,
+def _fwd_kernel(*refs, plan: _Plan, offs,
+                dims: _ConvDims, cins, couts, nb: int, precision,
                 act_name: Optional[str] = None, lrn=None):
+    """Forward conv kernel over CONCATENATED inputs and SPLIT outputs.
+
+    ``cins`` is a tuple of input channel counts: the tap stack interleaves
+    the inputs per row tap exactly as a channel concat would, so the
+    standard [KH*sum(cins), KW*sum(couts)] weight grouping applies and a
+    concat is never materialized (the up-tower merge conv pattern,
+    reference model/model.py:228-243).  ``couts`` splits the accumulator
+    rows over multiple output refs (used by the dual conv's dx, which
+    produces the two branch cotangents directly).  The single-input,
+    single-output case (cins=(cin,), couts=(cout,)) is the classic kernel.
+    """
+    n_in, n_out = len(cins), len(couts)
+    x_refs = refs[:n_in]
+    w_ref, b_ref, m_ref = refs[n_in:n_in + 3]
+    rest = refs[n_in + 3:]
     if lrn is not None:
-        M_ref, o_ref, xs_ref = rest
+        M_ref = rest[0]
+        rest = rest[1:]
     else:
         M_ref = None
-        o_ref, xs_ref = rest
+    o_refs = rest[:n_out]
+    xs_ref = rest[n_out]
+    cin = sum(cins)
+    cout = sum(couts)
     kh, kw, d = dims.kh, dims.kw, dims.d
     z0 = plan.z0
     cw = plan.stride + z0 + (kw - 1) * d + 1
@@ -486,14 +505,17 @@ def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, *rest, plan: _Plan, offs,
 
     @pl.when(is_guard)
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        for o_ref in o_refs:
+            o_ref[:] = jnp.zeros_like(o_ref)
 
     @pl.when(jnp.logical_not(is_guard))
     def _():
         for i in range(nb):
             for ky, q in enumerate(offs):
-                xs_ref[ky * cin:(ky + 1) * cin, :cw] = (
-                    x_ref[i, :, q:q + cw])
+                base = ky * cin
+                for xr, cj in zip(x_refs, cins):
+                    xs_ref[base:base + cj, :cw] = xr[i, :, q:q + cw]
+                    base += cj
             z = jax.lax.dot_general(
                 w_ref[:], xs_ref[:, :cw], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -513,17 +535,25 @@ def _fwd_kernel(x_ref, w_ref, b_ref, m_ref, *rest, plan: _Plan, offs,
                               z0 + kx * d:z0 + kx * d + plan.stride]
             acc = _epilogue_fwd(acc, b_ref, M_ref, act_name, lrn,
                                 precision) * m_ref[:]
-            o_ref[i, :, :] = acc.astype(o_ref.dtype)
+            o0 = 0
+            for o_ref, ck in zip(o_refs, couts):
+                o_ref[i, :, :] = acc[o0:o0 + ck].astype(o_ref.dtype)
+                o0 += ck
 
 
-def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, gs_ref, *, plan: _Plan, offs,
-               dims: _ConvDims, cin: int, cout: int, nb: int, precision):
+def _dw_kernel(*refs, plan: _Plan, offs,
+               dims: _ConvDims, cins, cout: int, nb: int, precision):
     # The first-visit zero-init + `+=` accumulation below relies on the
     # default sequential ('arbitrary') grid semantics: every grid step
     # revisits the same dw block in order.  Do NOT add
     # dimension_semantics=('parallel', ...) to this pallas_call — a
     # parallel batch dim would race the accumulator and silently corrupt
     # weight gradients.
+    n_in = len(cins)
+    x_refs = refs[:n_in]
+    g_ref = refs[n_in]
+    dw_ref, xs_ref, gs_ref = refs[n_in + 1:]
+    cin = sum(cins)
     kh, kw, d = dims.kh, dims.kw, dims.d
     z0 = plan.z0
     cw = plan.stride + z0 + (kw - 1) * d + 1
@@ -553,8 +583,10 @@ def _dw_kernel(x_ref, g_ref, dw_ref, xs_ref, gs_ref, *, plan: _Plan, offs,
                     gs_ref[kx * cout:(kx + 1) * cout, hi:cw])
         for i in range(nb):
             for ky, q in enumerate(offs):
-                xs_ref[ky * cin:(ky + 1) * cin, :cw] = (
-                    x_ref[i, :, q:q + cw])
+                base = ky * cin
+                for xr, cj in zip(x_refs, cins):
+                    xs_ref[base:base + cj, :cw] = xr[i, :, q:q + cw]
+                    base += cj
             for kx in range(kw):
                 gs_ref[kx * cout:(kx + 1) * cout,
                        z0 + kx * d:z0 + kx * d + plan.stride] = g_ref[i]
@@ -760,20 +792,31 @@ def _lrn_matrix(cout: int, size: int, dtype=jnp.float32) -> jnp.ndarray:
                        dtype)
 
 
-def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
-               geom: FlatGeom, dims: _ConvDims, cout: int,
+def _conv_body(xb, w2: jnp.ndarray, b: jnp.ndarray,
+               geom: FlatGeom, dims: _ConvDims, cout,
                out_dtype, interpret: bool, act_name: Optional[str] = None,
-               lrn=None) -> jnp.ndarray:
+               lrn=None):
     """Core pallas_call: body x [N, Cin, LB] -> body y [N, Cout, LB].
 
     ``act_name``/``lrn`` fuse the ConvBnLrnDrop epilogue (bias -> act ->
     LRN, see models/layers.py) into the kernel: the separate XLA passes
     re-reading and re-writing the full body tensor disappear.
+
+    ``xb`` may be a tuple of body tensors, computed as their channel
+    concat without materializing it; ``cout`` may be a tuple, splitting
+    the output rows over separate tensors (returned as a tuple).
     """
-    n, cin, lb = xb.shape
-    assert lb == geom.LB, (xb.shape, geom)
+    xbs = xb if isinstance(xb, tuple) else (xb,)
+    couts = cout if isinstance(cout, tuple) else (cout,)
+    split_out = isinstance(cout, tuple)
+    n = xbs[0].shape[0]
+    cins = tuple(x.shape[1] for x in xbs)
+    cin = sum(cins)
+    cout = sum(couts)
+    for x in xbs:
+        assert x.shape[2] == geom.LB and x.shape[0] == n, (x.shape, geom)
     kh, kw = dims.kh, dims.kw
-    itemsize = xb.dtype.itemsize
+    itemsize = xbs[0].dtype.itemsize
     # tile budget counts the z intermediate's KW*Cout rows next to the
     # tap stack's KH*Cin: the wide-cout end conv (4x4, 17 out) holds a
     # [KW*Cout, cw] f32 product per image that dwarfs its 8-row tap stack
@@ -798,38 +841,43 @@ def _conv_body(xb: jnp.ndarray, w2: jnp.ndarray, b: jnp.ndarray,
                           cout * plan.stride * itemsize,
                           kh * cin * cwp * itemsize + z_bytes)
     kernel = functools.partial(
-        _fwd_kernel, plan=plan, offs=offs, dims=dims, cin=cin, cout=cout,
-        nb=nb, precision=_dot_precision(xb.dtype),
+        _fwd_kernel, plan=plan, offs=offs, dims=dims, cins=cins,
+        couts=couts, nb=nb, precision=_dot_precision(xbs[0].dtype),
         act_name=act_name, lrn=lrn,
     )
-    in_specs = [
-        _x_spec(plan, geom, cin, nb),
+    in_specs = [_x_spec(plan, geom, cj, nb) for cj in cins] + [
         pl.BlockSpec((kh * cin, kw * cout), lambda ni, bi: (0, 0)),
         pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
         pl.BlockSpec((1, plan.stride), lambda ni, bi: (0, 0)),
     ]
-    args = [xb, w2, b, _col_mask(plan, geom)]
+    args = list(xbs) + [w2, b, _col_mask(plan, geom)]
     if lrn is not None:
         in_specs.append(pl.BlockSpec((cout, cout), lambda ni, bi: (0, 0)))
         args.append(_lrn_matrix(cout, lrn[0]))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n // nb, plan.n_blk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((nb, cout, plan.stride),
-                               lambda ni, bi: (ni, 0, bi)),
-        out_shape=jax.ShapeDtypeStruct((n, cout, geom.LB), out_dtype),
-        scratch_shapes=[pltpu.VMEM((kh * cin, cwp), xb.dtype)],
+        out_specs=[pl.BlockSpec((nb, ck, plan.stride),
+                                lambda ni, bi: (ni, 0, bi))
+                   for ck in couts],
+        out_shape=[jax.ShapeDtypeStruct((n, ck, geom.LB), out_dtype)
+                   for ck in couts],
+        scratch_shapes=[pltpu.VMEM((kh * cin, cwp), xbs[0].dtype)],
         interpret=interpret,
     )(*args)
+    return tuple(out) if split_out else out[0]
 
 
-def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
+def _dw_call(xb, g: jnp.ndarray, geom: FlatGeom,
              dims: _ConvDims, cin: int, cout: int,
              interpret: bool) -> jnp.ndarray:
-    n = xb.shape[0]
+    xbs = xb if isinstance(xb, tuple) else (xb,)
+    cins = tuple(x.shape[1] for x in xbs)
+    assert sum(cins) == cin
+    n = xbs[0].shape[0]
     kh, kw = dims.kh, dims.kw
-    itemsize = xb.dtype.itemsize
+    itemsize = xbs[0].dtype.itemsize
     # the dw kernel holds TWO scratch stacks (xs: KH*Cin rows, gs: KW*Cout
     # rows) and Mosaic materializes their [:, :cw] dot operands as copies,
     # so the tile budget counts 2x both stacks — the planner's default
@@ -847,24 +895,23 @@ def _dw_call(xb: jnp.ndarray, g: jnp.ndarray, geom: FlatGeom,
                       (kh * cin + kw * cout) * cwp * 4
                       if itemsize == 4 else 0)
     kernel = functools.partial(
-        _dw_kernel, plan=plan, offs=offs, dims=dims, cin=cin, cout=cout,
-        nb=nb, precision=_dot_precision(xb.dtype),
+        _dw_kernel, plan=plan, offs=offs, dims=dims, cins=cins, cout=cout,
+        nb=nb, precision=_dot_precision(xbs[0].dtype),
     )
     return pl.pallas_call(
         kernel,
         grid=(n // nb, plan.n_blk),
-        in_specs=[
-            _x_spec(plan, geom, cin, nb),
+        in_specs=[_x_spec(plan, geom, cj, nb) for cj in cins] + [
             pl.BlockSpec((nb, cout, plan.stride),
                          lambda ni, bi: (ni, 0, bi)),
         ],
         out_specs=pl.BlockSpec((kh * cin, kw * cout),
                                lambda ni, bi: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((kh * cin, kw * cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((kh * cin, cwp), xb.dtype),
-                        pltpu.VMEM((kw * cout, cwp), xb.dtype)],
+        scratch_shapes=[pltpu.VMEM((kh * cin, cwp), xbs[0].dtype),
+                        pltpu.VMEM((kw * cout, cwp), xbs[0].dtype)],
         interpret=interpret,
-    )(xb, g)
+    )(*xbs, g)
 
 
 def _w_group(w: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -1290,6 +1337,407 @@ def _flat_upsample2_bwd(geom_in, geom_out, _, g):
 flat_upsample2.defvjp(_flat_upsample2_fwd, _flat_upsample2_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused stride-2 transposed conv: upsample + 3x3 conv in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The up-tower deconv (reference model/layers/layers.py:207-260 via
+# ConvTranspose2d) ran as flat_upsample2 -> flat_conv2d: the zero-inserted
+# intermediate `up` (geom_out-sized) was written to HBM, re-read by the
+# conv, kept alive as the conv VJP's residual, and its cotangent dUp was
+# materialized again in backward.  The fused kernels build the dilated
+# rows in VMEM (the same insert-matrix MXU trick) and never touch HBM with
+# them: forward reads x and writes y; backward-dx computes the transposed
+# conv of g in VMEM and emits dx (= dUp sampled at even positions — the
+# transpose of conv∘upsample is the stride-2 conv) in the same pass;
+# backward-dw rebuilds the dilated taps from x while accumulating dw.
+
+
+def _deconv_tiles(geom_in: FlatGeom, geom_out: FlatGeom):
+    """(t_out, t_in) block tiles for flat_deconv2, or None.
+
+    fwd/dw grids run over geom_out blocks of t_out rows and read
+    (t_out/2 + 1)-row x windows; dx runs over geom_in blocks of t_in rows
+    and reads (2*t_in + 2)-row g windows.  All window starts must be
+    128-aligned, and the transposed conv's negative start offset must stay
+    inside the leading guard block.
+    """
+    if geom_out.H != 2 * geom_in.H or geom_out.W != 2 * geom_in.W:
+        return None
+    wp_in, wp_out = geom_in.Wp, geom_out.Wp
+    t_out = [t for t in range(2, geom_out.tile_h + 1, 2)
+             if geom_out.tile_h % t == 0 and (t * wp_out) % 128 == 0
+             and ((t // 2) * wp_in) % 128 == 0]
+    t_in = [t for t in range(1, geom_in.tile_h + 1)
+            if geom_in.tile_h % t == 0 and (t * wp_in) % 128 == 0
+            and (2 * t * wp_out) % 128 == 0]
+    if not t_out or not t_in:
+        return None
+    # fwd x window must end inside the tail guard (see _plan's last-block
+    # rule): slack after the last needed row is (tile_h_in - 1) * wp_in,
+    # the 128-round-up of the window length must fit in it
+    to, ti = max(t_out), max(t_in)
+    need = (to // 2 + 1) * wp_in
+    len_x = -(-need // 128) * 128
+    if len_x - need > (geom_in.tile_h - 1) * wp_in:
+        return None
+    # dx: first compute block's window start S_out + start0 must be >= 0
+    raw0 = -(wp_out + 1)
+    start0 = raw0 - (raw0 % 128)
+    if geom_out.S + start0 < 0:
+        return None
+    return to, ti
+
+
+def _dc_z0(wp_out: int) -> int:
+    return 127 if wp_out % 128 == 0 else 0  # 128 - pleft aligned scheme
+
+
+def _dc_fwd_kernel(x_ref, mi_ref, w_ref, b_ref, mask_ref, o_ref, ups_ref,
+                   xs_ref, *, t, wp_in, wp_out, cin, cout, g_blk, n_blk,
+                   nb, precision):
+    z0 = _dc_z0(wp_out)
+    pad0 = 128
+    stride = t * wp_out
+    cw = stride + z0 + 3  # (kw-1)*d + 1 = 3
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        for i in range(nb):
+            # dilated up rows R-1..R+t in VMEM: local j odd = up row
+            # R-1+j = x row (R+j-1)/2 (window-local row (j-1)/2), even
+            # j (odd up rows) stay zero; margins cover the column taps
+            if i == 0:
+                # margins + even-j (odd up) rows; odd-j rows are fully
+                # overwritten below for every image
+                ups_ref[:] = jnp.zeros_like(ups_ref)
+            for j in range(1, t + 2, 2):
+                m = (j - 1) // 2
+                row = x_ref[i, :, m * wp_in:(m + 1) * wp_in]
+                ups_ref[:, pad0 + j * wp_out:pad0 + (j + 1) * wp_out] = (
+                    jax.lax.dot_general(
+                        row, mi_ref[:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision).astype(ups_ref.dtype))
+            for ky in range(3):
+                q = pad0 + ky * wp_out - 1 - z0  # pleft = 1
+                xs_ref[ky * cin:(ky + 1) * cin, :cw] = ups_ref[:, q:q + cw]
+            z = jax.lax.dot_general(
+                w_ref[:], xs_ref[:, :cw], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [3*cout, cw]
+            k0 = next((kx for kx in range(3) if (z0 + kx) % 128 == 0), 0)
+            acc = z[k0 * cout:(k0 + 1) * cout, z0 + k0:z0 + k0 + stride]
+            for kx in range(3):
+                if kx == k0:
+                    continue
+                acc = acc + z[kx * cout:(kx + 1) * cout,
+                              z0 + kx:z0 + kx + stride]
+            acc = (acc + b_ref[:]) * mask_ref[:]
+            o_ref[i, :, :] = acc.astype(o_ref.dtype)
+
+
+def _dc_dx_kernel(g_ref, mt_ref, wt_ref, o_ref, xs_ref, *, t_in, wp_in,
+                  wp_out, cin, cout, g_blk, n_blk, nb, start0,
+                  precision):
+    # dx = stride-2 conv of g: compute the transposed conv dUp for the
+    # 2*t_in up rows of this geom_in block entirely in VMEM (standard tap
+    # machinery, dims_t pt=pleft=1), then sample even rows/cols via the
+    # transposed insert matrix.
+    z0 = _dc_z0(wp_out)
+    stride = 2 * t_in * wp_out
+    cw = stride + z0 + 3
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        for i in range(nb):
+            for ky in range(3):
+                # row tap ky*d - pt = ky - 1; window base already carries
+                # start0 (folded into the Element window offset)
+                q = (ky - 1) * wp_out - 1 - start0 - z0
+                xs_ref[ky * cout:(ky + 1) * cout, :cw] = g_ref[i, :,
+                                                               q:q + cw]
+            z = jax.lax.dot_general(
+                wt_ref[:], xs_ref[:, :cw], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [3*cin, cw]
+            k0 = next((kx for kx in range(3) if (z0 + kx) % 128 == 0), 0)
+            acc = z[k0 * cin:(k0 + 1) * cin, z0 + k0:z0 + k0 + stride]
+            for kx in range(3):
+                if kx == k0:
+                    continue
+                acc = acc + z[kx * cin:(kx + 1) * cin,
+                              z0 + kx:z0 + kx + stride]
+            # sample even dUp rows at even columns: one [wp_out, wp_in]
+            # matmul per geom_in row
+            for m in range(t_in):
+                dxrow = jax.lax.dot_general(
+                    acc[:, (2 * m) * wp_out:(2 * m + 1) * wp_out],
+                    mt_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                o_ref[i, :, m * wp_in:(m + 1) * wp_in] = dxrow.astype(
+                    o_ref.dtype)
+
+
+def _dc_dw_kernel(x_ref, g_ref, mi_ref, dw_ref, ups_ref, xs_ref, gs_ref,
+                  *, t, wp_in, wp_out, cin, cout, g_blk, n_blk, nb,
+                  precision):
+    # same dilated-taps preamble as the forward, accumulating
+    # dw[ky*cin+ci, kx*cout+co] like flatconv._dw_kernel (sequential-grid
+    # revisit accumulation — do NOT mark grid dims parallel)
+    z0 = _dc_z0(wp_out)
+    pad0 = 128
+    stride = t * wp_out
+    cw = stride + z0 + 3
+    ni = pl.program_id(0)
+    bi = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(ni == 0, bi == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        for kx in range(3):
+            lo, hi = z0 + kx, z0 + kx + stride
+            if lo > 0:
+                gs_ref[kx * cout:(kx + 1) * cout, :lo] = jnp.zeros_like(
+                    gs_ref[kx * cout:(kx + 1) * cout, :lo])
+            if hi < cw:
+                gs_ref[kx * cout:(kx + 1) * cout, hi:cw] = jnp.zeros_like(
+                    gs_ref[kx * cout:(kx + 1) * cout, hi:cw])
+        for i in range(nb):
+            if i == 0:
+                # margins + even-j (odd up) rows; odd-j rows are fully
+                # overwritten below for every image
+                ups_ref[:] = jnp.zeros_like(ups_ref)
+            for j in range(1, t + 2, 2):
+                m = (j - 1) // 2
+                row = x_ref[i, :, m * wp_in:(m + 1) * wp_in]
+                ups_ref[:, pad0 + j * wp_out:pad0 + (j + 1) * wp_out] = (
+                    jax.lax.dot_general(
+                        row, mi_ref[:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision).astype(ups_ref.dtype))
+            for ky in range(3):
+                q = pad0 + ky * wp_out - 1 - z0
+                xs_ref[ky * cin:(ky + 1) * cin, :cw] = ups_ref[:, q:q + cw]
+            for kx in range(3):
+                gs_ref[kx * cout:(kx + 1) * cout,
+                       z0 + kx:z0 + kx + stride] = g_ref[i]
+            dw_ref[:] += jax.lax.dot_general(
+                xs_ref[:, :cw], gs_ref[:, :cw], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
+
+def _dc_x_spec(geom_in: FlatGeom, t: int, g_blk: int, cin: int, nb: int):
+    len_win = (t // 2) * geom_in.Wp
+    len_x = -(-((t // 2 + 1) * geom_in.Wp) // 128) * 128
+    hi = geom_in.LB - len_x
+
+    def x_index(ni, bi):
+        s = (bi - g_blk) * len_win + geom_in.S
+        return (ni * nb, 0, pl.multiple_of(jnp.clip(s, 0, hi), 128))
+
+    return pl.BlockSpec(
+        (pl.Element(nb), pl.Element(cin), pl.Element(len_x)), x_index
+    ), len_x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flat_deconv2_prim(x_body, w, b, geom_in: FlatGeom,
+                       geom_out: FlatGeom):
+    n, cin, lb = x_body.shape
+    assert lb == geom_in.LB, (x_body.shape, geom_in)
+    cout = w.shape[-1]
+    t, _ = _deconv_tiles(geom_in, geom_out)
+    wp_in, wp_out = geom_in.Wp, geom_out.Wp
+    g_blk = geom_out.tile_h // t
+    n_blk = geom_out.H // t + 2 * g_blk
+    stride = t * wp_out
+    itemsize = x_body.dtype.itemsize
+    cwp = -(-(stride + _dc_z0(wp_out) + 3) // 128) * 128
+    ups_bytes = cin * (256 + (t + 2) * wp_out) * itemsize
+    x_spec, len_x = _dc_x_spec(geom_in, t, g_blk, cin, nb=1)
+    nb = _batch_block(n, cin * len_x * itemsize,
+                      cout * stride * itemsize,
+                      ups_bytes + 3 * cin * cwp * itemsize
+                      + 2 * 3 * cout * cwp * 4)
+    x_spec, len_x = _dc_x_spec(geom_in, t, g_blk, cin, nb)
+    plan = _Plan(t, stride, g_blk, n_blk, stride, 0, 9 * cin)
+    kernel = functools.partial(
+        _dc_fwd_kernel, t=t, wp_in=wp_in, wp_out=wp_out, cin=cin,
+        cout=cout, g_blk=g_blk, n_blk=n_blk, nb=nb,
+        precision=_dot_precision(x_body.dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nb, n_blk),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((wp_in, wp_out), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((3 * cin, 3 * cout), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((1, stride), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, cout, stride),
+                               lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, cout, geom_out.LB),
+                                       x_body.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cin, 256 + (t + 2) * wp_out), x_body.dtype),
+            pltpu.VMEM((3 * cin, cwp), x_body.dtype),
+        ],
+        interpret=_use_interpret(),
+    )(x_body, _insert_matrix(geom_in, geom_out, x_body.dtype),
+      _w_group(w, x_body.dtype), b.reshape(-1, 1).astype(jnp.float32),
+      _col_mask(plan, geom_out))
+
+
+def _flat_deconv2_fwd(x_body, w, b, geom_in, geom_out):
+    return _flat_deconv2_prim(x_body, w, b, geom_in, geom_out), (x_body, w)
+
+
+def _flat_deconv2_bwd(geom_in, geom_out, res, g):
+    x_body, w = res
+    n, cin, _ = x_body.shape
+    cout = w.shape[-1]
+    t, t_in = _deconv_tiles(geom_in, geom_out)
+    wp_in, wp_out = geom_in.Wp, geom_out.Wp
+    itemsize = x_body.dtype.itemsize
+    g = g.astype(x_body.dtype)  # body invariant holds in the model wiring
+
+    # --- dx: stride-2 conv of g, geom_out -> geom_in, one kernel
+    z0 = _dc_z0(wp_out)
+    raw0 = -(wp_out + 1) - z0
+    start0 = raw0 - (raw0 % 128)
+    stride_dx = 2 * t_in * wp_out
+    cw_dx = stride_dx + z0 + 3
+    len_g = -(-(((3 - 1) - 1) * wp_out - 1 - start0 - z0 + cw_dx)
+              // 128) * 128
+    g_blk_in = geom_in.tile_h // t_in
+    n_blk_in = geom_in.H // t_in + 2 * g_blk_in
+    cwp_dx = -(-cw_dx // 128) * 128
+    hi = geom_out.LB - len_g
+
+    def g_index_builder(nb):
+        def g_index(ni, bi):
+            s = (bi - g_blk_in) * stride_dx + geom_out.S + start0
+            return (ni * nb, 0, pl.multiple_of(jnp.clip(s, 0, hi), 128))
+        return g_index
+
+    nb = _batch_block(n, cout * len_g * itemsize,
+                      cin * t_in * wp_in * itemsize,
+                      3 * cout * cwp_dx * itemsize
+                      + 2 * 3 * cin * cwp_dx * 4)
+    wt = _w_transposed(w)
+    mt = jnp.transpose(_insert_matrix(geom_in, geom_out, g.dtype))
+    kernel_dx = functools.partial(
+        _dc_dx_kernel, t_in=t_in, wp_in=wp_in, wp_out=wp_out, cin=cin,
+        cout=cout, g_blk=g_blk_in, n_blk=n_blk_in, nb=nb, start0=start0,
+        precision=_dot_precision(g.dtype))
+    dx = pl.pallas_call(
+        kernel_dx,
+        grid=(n // nb, n_blk_in),
+        in_specs=[
+            pl.BlockSpec((pl.Element(nb), pl.Element(cout),
+                          pl.Element(len_g)), g_index_builder(nb)),
+            pl.BlockSpec((wp_out, wp_in), lambda ni, bi: (0, 0)),
+            pl.BlockSpec((3 * cout, 3 * cin), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, cin, t_in * wp_in),
+                               lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, cin, geom_in.LB), x_body.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * cout, cwp_dx), g.dtype)],
+        interpret=_use_interpret(),
+    )(g, mt, _w_group(wt, g.dtype))
+
+    # --- dw: rebuild the dilated taps from x, accumulate [3*Cin, 3*Cout]
+    g_blk = geom_out.tile_h // t
+    n_blk = geom_out.H // t + 2 * g_blk
+    stride = t * wp_out
+    cwp = -(-(stride + z0 + 3) // 128) * 128
+    ups_bytes = cin * (256 + (t + 2) * wp_out) * itemsize
+    x_spec, len_x = _dc_x_spec(geom_in, t, g_blk, cin, nb=1)
+    nb2 = _batch_block(n, cin * len_x * itemsize + cout * stride * itemsize,
+                       0,
+                       ups_bytes + (3 * cin + 3 * cout) * cwp * itemsize)
+    x_spec, len_x = _dc_x_spec(geom_in, t, g_blk, cin, nb2)
+    kernel_dw = functools.partial(
+        _dc_dw_kernel, t=t, wp_in=wp_in, wp_out=wp_out, cin=cin,
+        cout=cout, g_blk=g_blk, n_blk=n_blk, nb=nb2,
+        precision=_dot_precision(x_body.dtype))
+    dw2 = pl.pallas_call(
+        kernel_dw,
+        grid=(n // nb2, n_blk),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((nb2, cout, stride), lambda ni, bi: (ni, 0, bi)),
+            pl.BlockSpec((wp_in, wp_out), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3 * cin, 3 * cout), lambda ni, bi: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3 * cin, 3 * cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((cin, 256 + (t + 2) * wp_out), x_body.dtype),
+            pltpu.VMEM((3 * cin, cwp), x_body.dtype),
+            pltpu.VMEM((3 * cout, cwp), x_body.dtype),
+        ],
+        interpret=_use_interpret(),
+    )(x_body, g, _insert_matrix(geom_in, geom_out, x_body.dtype))
+    dw = dw2.reshape(3, cin, 3, cout).transpose(0, 2, 1, 3).astype(w.dtype)
+    db = jnp.sum(g, axis=(0, 2), dtype=jnp.float32)
+    return dx, dw, db
+
+
+_flat_deconv2_prim.defvjp(_flat_deconv2_fwd, _flat_deconv2_bwd)
+
+
+def flat_deconv2(x_body: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                 geom_in: FlatGeom, geom_out: FlatGeom):
+    """Fused stride-2 3x3 transposed conv (zero-insert upsample + SAME
+    conv), body-flat geom_in -> geom_out, or None if the geometry pair
+    doesn't admit the fused tiling (caller falls back to flat_upsample2 /
+    body_upsample2 + flat_conv2d).
+
+    Exactly equal to flat_conv2d(flat_upsample2(x), w, b, geom_out) —
+    the torch ConvTranspose2d(stride=2, padding=1) emulation of
+    DeconvBnLrnDrop (reference model/layers/layers.py:207-260) — but the
+    zero-inserted intermediate never exists in HBM, in forward or
+    backward.  Requires the body invariant on the incoming cotangent.
+    """
+    assert w.shape[:2] == (3, 3), w.shape
+    if geom_in.sp > 1:
+        return None  # spatially sharded deconvs keep the two-op path
+    if _deconv_tiles(geom_in, geom_out) is None:
+        return None
+    t, t_in = _deconv_tiles(geom_in, geom_out)
+    itemsize = x_body.dtype.itemsize
+    cin, cout = w.shape[2], w.shape[3]
+    # scoped-VMEM gate: ups scratch + tap stacks + z products per image
+    cwp = -(-(t * geom_out.Wp + _dc_z0(geom_out.Wp) + 3) // 128) * 128
+    est = (cin * (256 + (t + 2) * geom_out.Wp) * itemsize
+           + (3 * cin + 3 * cout) * cwp * itemsize
+           + 2 * 3 * cout * cwp * 4)
+    if est > 13 * 2**20:
+        return None
+    return _flat_deconv2_prim(x_body, w, b, geom_in, geom_out)
+
+
 def _pool2_halves(x_body, geom_in):
     n, c, _ = x_body.shape
     h, w, wp = geom_in.H, geom_in.W, geom_in.Wp
@@ -1591,6 +2039,106 @@ def flat_concat_conv1x1(a, b, w, bias, geom: FlatGeom,
 
         return get_activation(act)(y)
     return _concat_conv1x1_prim(a, b, w, bias, geom, act, out_dtype_name)
+
+
+# ---------------------------------------------------------------------------
+# Fused concat + KxK conv (the up-tower skip-merge pattern)
+# ---------------------------------------------------------------------------
+#
+# The up tower computes  y = MergeConv3x3(concat([skip, deconv_out], C))
+# (reference model/model.py:228-243).  The materialized 2C concat is two
+# full HBM passes (write + re-read) that the generalized conv kernel
+# eliminates: its tap stack interleaves the two inputs per row tap, which
+# is exactly the channel-concat weight layout, and its dx kernel splits
+# the transposed conv's output rows into the two branch cotangents
+# directly (no post-hoc channel slicing).
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+)
+def _flat_conv_cat_prim(xa, xb, w, b, geom: FlatGeom, kh: int, kw: int,
+                        dilation: int, pt: int, pleft: int,
+                        out_dtype_name: str, mask_cotangent: bool = True):
+    dims = _ConvDims(kh, kw, dilation, pt, pleft)
+    cout = w.shape[-1]
+    return _conv_body(
+        (xa, xb), _w_group(w, xa.dtype),
+        b.reshape(-1, 1).astype(jnp.float32),
+        geom, dims, cout, jnp.dtype(out_dtype_name), _use_interpret(),
+    )
+
+
+def _flat_conv_cat_fwd(xa, xb, w, b, geom, kh, kw, dilation, pt, pleft,
+                       out_dtype_name, mask_cotangent=True):
+    y = _flat_conv_cat_prim(xa, xb, w, b, geom, kh, kw, dilation, pt,
+                            pleft, out_dtype_name, mask_cotangent)
+    return y, (xa, xb, w)
+
+
+def _flat_conv_cat_bwd(geom, kh, kw, dilation, pt, pleft, out_dtype_name,
+                       mask_cotangent, res, g):
+    xa, xb, w = res
+    ca, cb = xa.shape[1], xb.shape[1]
+    cout = w.shape[-1]
+    dims = _ConvDims(kh, kw, dilation, pt, pleft)
+    interp = _use_interpret()
+    # the model pipeline preserves the body invariant (see _flat_conv_bwd)
+    # and passes mask_cotangent=False; the default re-zeroes defensively
+    if mask_cotangent:
+        g = body_mask(g, geom)
+    g = g.astype(xa.dtype)
+    dims_t = _ConvDims(kh, kw, dilation,
+                       (kh - 1) * dilation - pt,
+                       (kw - 1) * dilation - pleft)
+    wt = _w_transposed(w)  # [KH, KW, Cout, Ca+Cb]
+    zero_b = jnp.zeros((ca + cb, 1), jnp.float32)
+    dxa, dxb = _conv_body(g, _w_group(wt, g.dtype), zero_b, geom, dims_t,
+                          (ca, cb), xa.dtype, interp)
+    dw2 = _dw_call((xa, xb), g, geom, dims, ca + cb, cout, interp)
+    dw = dw2.reshape(kh, ca + cb, kw, cout).transpose(0, 2, 1, 3).astype(
+        w.dtype)
+    db = jnp.sum(g, axis=(0, 2), dtype=jnp.float32)
+    return dxa, dxb, dw, db
+
+
+_flat_conv_cat_prim.defvjp(_flat_conv_cat_fwd, _flat_conv_cat_bwd)
+
+
+def flat_concat_conv2d(a, b, w, bias, geom: FlatGeom, *, dilation: int = 1,
+                       out_dtype=None, mask_cotangent: bool = True):
+    """y = conv_KxK(concat([a, b], channel axis)) without materializing the
+    concat (SAME padding, no activation — the up-tower merge conv shape).
+
+    a: [N, Ca, LB], b: [N, Cb, LB], w: [KH, KW, Ca+Cb, Cout] (flax HWIO).
+    The cotangents da/db come straight out of the dx kernel's split
+    outputs.  Requires the body invariant on the incoming cotangent (the
+    model wiring guarantees it, like flat_conv2d(mask_cotangent=False)).
+    """
+    kh, kw, cin, cout = w.shape
+    assert cin == a.shape[1] + b.shape[1], (w.shape, a.shape, b.shape)
+    if geom.sp > 1 and kh > 1:
+        xe_a, geom_ext = extend_shards(a, geom)
+        xe_b, _ = extend_shards(b, geom)
+        ye = flat_concat_conv2d(xe_a, xe_b, w, bias, geom_ext,
+                                dilation=dilation, out_dtype=out_dtype,
+                                mask_cotangent=mask_cotangent)
+        return shrink_shards(ye, geom)
+    pt = ((kh - 1) * dilation) // 2
+    pleft = ((kw - 1) * dilation) // 2
+    if bias is None:
+        bias = jnp.zeros((cout,), jnp.float32)
+    out_dtype_name = jnp.dtype(out_dtype or a.dtype).name
+    cmax = max_flat_cin(kh, kw, geom, a.dtype.itemsize)
+    if cin > cmax:
+        # wide merge: fall back to the materialized concat + chunked conv
+        cat = jnp.concatenate([a, b], axis=1)
+        return flat_conv2d(cat, w, bias, geom, dilation=dilation,
+                           out_dtype=out_dtype,
+                           mask_cotangent=mask_cotangent)
+    return _flat_conv_cat_prim(a, b, w, bias, geom, kh, kw, dilation,
+                               int(pt), int(pleft), out_dtype_name,
+                               bool(mask_cotangent))
 
 
 # ---------------------------------------------------------------------------

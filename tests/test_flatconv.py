@@ -572,3 +572,162 @@ def test_to_body_nhwc_fused_matches_xla():
     assert to_body_nhwc_fused(
         jax.random.normal(jax.random.PRNGKey(1), (1, 32, 48, 8)),
         FlatGeom(32, 48, 2, 32)) is None
+
+
+# ---------------------------------------------------------------------------
+# Fused concat + KxK conv (the up-tower skip-merge pattern)
+
+
+CAT_CASES = [
+    # (h, w, ca, cb, cout, kh, kw)
+    (32, 48, 8, 8, 8, 3, 3),      # scale-0 merge shape
+    (24, 40, 16, 16, 16, 3, 3),   # scale-1 merge
+    (32, 48, 8, 16, 8, 3, 3),     # asymmetric split
+    (32, 64, 8, 8, 8, 3, 3),      # lane-aligned geometry
+]
+
+
+def _cat_geom(h, w):
+    if w % 64 == 0:
+        return _aligned_geom(h, w)
+    return choose_geom(h, w)
+
+
+@pytest.mark.parametrize("h,w,ca,cb,cout,kh,kw", CAT_CASES)
+def test_concat_conv2d_matches_oracle(h, w, ca, cb, cout, kh, kw):
+    from msau_tpu.ops.flatconv import flat_concat_conv2d
+
+    geom = _cat_geom(h, w)
+    a = _mk(geom, ca, jax.random.PRNGKey(0))
+    b = _mk(geom, cb, jax.random.PRNGKey(1))
+    wk = jax.random.normal(jax.random.PRNGKey(2),
+                           (kh, kw, ca + cb, cout)) * 0.3
+    bias = jax.random.normal(jax.random.PRNGKey(3), (cout,))
+    got = flat_concat_conv2d(a, b, wk, bias, geom)
+    ref = flat_conv2d_reference(jnp.concatenate([a, b], axis=1), wk, bias,
+                                geom)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    from msau_tpu.ops.flatconv import body_mask
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(body_mask(got, geom)))
+
+
+@pytest.mark.parametrize("h,w,ca,cb,cout,kh,kw", CAT_CASES[:2])
+def test_concat_conv2d_grads_match_oracle(h, w, ca, cb, cout, kh, kw):
+    from msau_tpu.ops.flatconv import flat_concat_conv2d
+
+    geom = _cat_geom(h, w)
+    a = _mk(geom, ca, jax.random.PRNGKey(4))
+    b = _mk(geom, cb, jax.random.PRNGKey(5))
+    wk = jax.random.normal(jax.random.PRNGKey(6),
+                           (kh, kw, ca + cb, cout)) * 0.3
+    bias = jax.random.normal(jax.random.PRNGKey(7), (cout,))
+    cw = jax.random.normal(jax.random.PRNGKey(8), (2, cout, geom.LB))
+
+    def loss_fused(a, b, wk, bias):
+        return jnp.sum(flat_concat_conv2d(a, b, wk, bias, geom) * cw)
+
+    def loss_ref(a, b, wk, bias):
+        cat = jnp.concatenate([a, b], axis=1)
+        return jnp.sum(flat_conv2d_reference(cat, wk, bias, geom) * cw)
+
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(a, b, wk, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(a, b, wk, bias)
+    for got, ref, name in zip(g_got, g_ref, "a b w bias".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3,
+            err_msg=f"grad wrt {name}")
+
+
+def test_concat_conv2d_wide_fallback():
+    """cin beyond the VMEM cap takes the materialized-concat chunked path."""
+    from msau_tpu.ops.flatconv import flat_concat_conv2d, max_flat_cin
+
+    geom = choose_geom(16, 24)
+    ca = cb = max_flat_cin(3, 3, geom, 4) // 2 + 4
+    a = _mk(geom, ca, jax.random.PRNGKey(9))
+    b = _mk(geom, cb, jax.random.PRNGKey(10))
+    wk = jax.random.normal(jax.random.PRNGKey(11),
+                           (3, 3, ca + cb, 8)) * 0.1
+    bias = jnp.zeros((8,))
+    got = flat_concat_conv2d(a, b, wk, bias, geom)
+    ref = flat_conv2d_reference(jnp.concatenate([a, b], axis=1), wk, bias,
+                                geom)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused stride-2 transposed conv (upsample + 3x3 conv in one kernel)
+
+
+DC_CASES = [
+    # (h_in, w_in, cin, cout) -> geom_out at (2h, 2w)
+    (16, 24, 8, 8),
+    (16, 32, 16, 8),      # aligned-out candidate
+    (12, 20, 8, 16),
+]
+
+
+def _dc_geoms(h, w):
+    gi = choose_geom(h, w, wp_mod=8)
+    go = choose_geom(2 * h, 2 * w)
+    return gi, go
+
+
+@pytest.mark.parametrize("h,w,cin,cout", DC_CASES)
+def test_flat_deconv2_matches_two_op_path(h, w, cin, cout):
+    from msau_tpu.ops.flatconv import (
+        body_upsample2,
+        flat_deconv2,
+    )
+
+    gi, go = _dc_geoms(h, w)
+    x = _mk(gi, cin, jax.random.PRNGKey(0))
+    wk = jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(2), (cout,))
+    got = flat_deconv2(x, wk, b, gi, go)
+    if got is None:
+        pytest.skip(f"no fused tiling for {gi} -> {go}")
+    up = body_upsample2(x, gi, go)
+    ref = flat_conv2d_reference(up, wk, b, go)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    from msau_tpu.ops.flatconv import body_mask
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(body_mask(got, go)))
+
+
+@pytest.mark.parametrize("h,w,cin,cout", DC_CASES[:2])
+def test_flat_deconv2_grads_match(h, w, cin, cout):
+    from msau_tpu.ops.flatconv import (
+        body_mask,
+        body_upsample2,
+        flat_deconv2,
+    )
+
+    gi, go = _dc_geoms(h, w)
+    x = _mk(gi, cin, jax.random.PRNGKey(3))
+    wk = jax.random.normal(jax.random.PRNGKey(4), (3, 3, cin, cout)) * 0.3
+    b = jax.random.normal(jax.random.PRNGKey(5), (cout,))
+    if flat_deconv2(x, wk, b, gi, go) is None:
+        pytest.skip(f"no fused tiling for {gi} -> {go}")
+    # the fused VJP assumes the body invariant on the cotangent (the model
+    # wiring guarantees it) — use a body-masked cotangent weight
+    cw = body_mask(
+        jax.random.normal(jax.random.PRNGKey(6), (2, cout, go.LB)), go)
+
+    def loss_fused(x, wk, b):
+        return jnp.sum(flat_deconv2(x, wk, b, gi, go) * cw)
+
+    def loss_ref(x, wk, b):
+        up = body_upsample2(x, gi, go)
+        return jnp.sum(flat_conv2d_reference(up, wk, b, go) * cw)
+
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(x, wk, b)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, wk, b)
+    for got, ref, name in zip(g_got, g_ref, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3,
+            err_msg=f"grad wrt {name}")
