@@ -173,11 +173,23 @@ class SelfAttentionBlock(nn.Module):
         out_h = proj(features=c, name="h")(x).reshape(n, hh * ww, c)
 
         t = hh * ww
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if self.impl in ("auto", "resident") and on_tpu:
+            # whole-operand VMEM residency + exact one-pass softmax: beats
+            # einsum at T=4096 (no [T, T] HBM materialization) AND the
+            # online-softmax kernel at T>=16k (no rescaling overhead)
+            from msau_tpu.ops.pallas_attn import (
+                resident_attention,
+                resident_attn_supported,
+            )
+
+            if resident_attn_supported(t, cb, c):
+                o = resident_attention(out_f, out_g, out_h)
+                return o.reshape(n, hh, ww, c) + x
         use_blockwise = self.impl == "pallas" or (
-            self.impl == "auto" and t >= _PALLAS_MIN_TOKENS
+            self.impl in ("auto", "resident") and t >= _PALLAS_MIN_TOKENS
         )
         if use_blockwise:
-            on_tpu = jax.default_backend() not in ("cpu",)
             if on_tpu and t % 256 == 0:
                 from msau_tpu.ops.pallas_attn import fused_attention
 

@@ -215,3 +215,224 @@ def _fused_bwd(block, interpret, res, dout):
 
 
 _fused_attention_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Resident-operand exact-softmax attention (v2)
+# ---------------------------------------------------------------------------
+#
+# At the MSAU deepest scales the projections are tiny on the channel axis
+# (Cb = C/8 = 8, C = 64 at the flagship; T = 4096..16384), so f [T, Cb],
+# h/dout [T, C] and the output all fit WHOLE in VMEM.  That admits a much
+# simpler kernel than the online-softmax pair above: grid over i-blocks
+# only, each step computes the full score rows s[i_blk, :] and their EXACT
+# softmax in one pass (no running max/sum rescaling — the overhead that
+# made the flash-style kernel lose to einsum at T=4096, PERF.md r4), and
+# accumulates A^T h into the resident output.  HBM traffic is just the
+# [T, C]-sized operands once — einsum materializes the [T, T] scores and
+# probabilities (0.5 GB/step at T=4096 bs=16) and its backward re-reads
+# them repeatedly.  The backward is ONE kernel of the same shape emitting
+# dg/dh blocks and the df accumulator.
+
+
+def _res_fwd_kernel(g_ref, f_ref, h_ref, o_ref, m_ref, l_ref, *,
+                    precision, acc_dtype):
+    i = pl.program_id(0)
+    s = jax.lax.dot_general(
+        g_ref[:], f_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [Bi, T]
+    mrow = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - mrow)
+    lrow = jnp.sum(p, axis=1, keepdims=True)
+    m_ref[:] = mrow
+    l_ref[:] = lrow
+    a = (p / lrow).astype(acc_dtype)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jax.lax.dot_general(
+        a, h_ref[:].astype(acc_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [T, C] += A^T @ h_blk
+
+
+def _res_bwd_kernel(g_ref, h_ref, do_ref, f_ref, m_ref, l_ref,
+                    dg_ref, dh_ref, df_ref, *, precision, acc_dtype):
+    i = pl.program_id(0)
+    s = jax.lax.dot_general(
+        g_ref[:], f_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    a = jnp.exp(s - m_ref[:]) / l_ref[:]              # [Bi, T] f32
+    ab = a.astype(acc_dtype)
+    dh_b = jax.lax.dot_general(
+        ab, do_ref[:].astype(acc_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [Bi, C]
+    h_b = h_ref[:].astype(jnp.float32)
+    rho = jnp.sum(h_b * dh_b, axis=1, keepdims=True)  # [Bi, 1]
+    u = jax.lax.dot_general(
+        h_ref[:].astype(acc_dtype), do_ref[:].astype(acc_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [Bi, T] = h_i . dout_j
+    ds = (a * (u - rho)).astype(acc_dtype)
+    dg_ref[:] = jax.lax.dot_general(
+        ds, f_ref[:].astype(acc_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(dg_ref.dtype)  # [Bi, Cb]
+    dh_ref[:] = dh_b.astype(dh_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        df_ref[:] = jnp.zeros_like(df_ref)
+
+    df_ref[:] += jax.lax.dot_general(
+        ds, g_ref[:].astype(acc_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [T, Cb] += ds^T @ g_blk
+
+
+def _res_precision(dtype):
+    return (jax.lax.Precision.DEFAULT
+            if jnp.dtype(dtype) == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
+def _res_block_i(t: int, c: int, cap: int = 256) -> int:
+    """Largest divisor of T <= cap keeping the [Bi, T] f32 temporaries
+    (~3 live) plus residents inside ~10 MiB."""
+    budget = 10 * 2**20 - (2 * t * c + t * 8) * 4
+    bi = 1
+    for cand in (256, 128, 64, 32, 16, 8):
+        if cand <= cap and t % cand == 0 and 3 * cand * t * 4 <= budget:
+            bi = cand
+            break
+    return bi
+
+
+def resident_attn_supported(t: int, cb: int, c: int) -> bool:
+    """Whole-operand VMEM residency + temp budget feasible?"""
+    if t % 8:
+        return False
+    return _res_block_i(t, c) >= 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _resident_attention_vjp(f, g, h, interpret):
+    out, _, _ = _resident_forward(f, g, h, interpret)
+    return out
+
+
+def _resident_forward(f, g, h, interpret):
+    n, t, cb = f.shape
+    c = h.shape[-1]
+    bi = _res_block_i(t, c)
+    acc_dtype = (jnp.bfloat16 if jnp.dtype(f.dtype) == jnp.bfloat16
+                 else jnp.float32)
+    kernel = functools.partial(
+        _res_fwd_kernel, precision=_res_precision(f.dtype),
+        acc_dtype=acc_dtype)
+
+    def single(fb, gb, hb):
+        o, m, l = pl.pallas_call(
+            kernel,
+            grid=(t // bi,),
+            in_specs=[
+                pl.BlockSpec((bi, cb), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, cb), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t, c), jnp.float32),
+                jax.ShapeDtypeStruct((t, 1), jnp.float32),
+                jax.ShapeDtypeStruct((t, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gb, fb, hb)
+        return o.astype(h.dtype), m, l
+
+    return jax.vmap(single)(f, g, h)
+
+
+def _resident_fwd(f, g, h, interpret):
+    out, m, l = _resident_forward(f, g, h, interpret)
+    return out, (f, g, h, m, l)
+
+
+def _resident_bwd(interpret, res, dout):
+    f, g, h, m, l = res
+    n, t, cb = f.shape
+    c = h.shape[-1]
+    bi = _res_block_i(t, c)
+    acc_dtype = (jnp.bfloat16 if jnp.dtype(f.dtype) == jnp.bfloat16
+                 else jnp.float32)
+    dout = dout.astype(h.dtype)
+    kernel = functools.partial(
+        _res_bwd_kernel, precision=_res_precision(f.dtype),
+        acc_dtype=acc_dtype)
+
+    def single(fb, gb, hb, dob, mb, lb):
+        dg, dh, df = pl.pallas_call(
+            kernel,
+            grid=(t // bi,),
+            in_specs=[
+                pl.BlockSpec((bi, cb), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, cb), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bi, cb), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, cb), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t, cb), jnp.float32),
+                jax.ShapeDtypeStruct((t, c), jnp.float32),
+                jax.ShapeDtypeStruct((t, cb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gb, hb, dob, fb, mb, lb)
+        return dg, dh, df
+
+    dg, dh, df = jax.vmap(single)(f, g, h, dout, m, l)
+    return df.astype(f.dtype), dg.astype(g.dtype), dh.astype(h.dtype)
+
+
+_resident_attention_vjp.defvjp(_resident_fwd, _resident_bwd)
+
+
+def resident_attention(f: jnp.ndarray, g: jnp.ndarray, h: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Reference-semantics attention (A = softmax_rows(g f^T), out = A^T h)
+    with whole-operand VMEM residency and exact one-pass softmax.
+
+    Callers must check ``resident_attn_supported(t, cb, c)`` first.
+    """
+    return _resident_attention_vjp(f, g, h, interpret)
