@@ -156,11 +156,38 @@ def main():
 
         serve()  # compile
         lat = []
+        stage = {"prep": [], "device": [], "strings": []}
         for _ in range(10):
+            tm = {}
             t0 = time.perf_counter()
-            serve()
+            kv.predict(page, timings=tm)
             lat.append((time.perf_counter() - t0) * 1000)
+            for k in stage:
+                stage[k].append(tm[k])
         p50_ms = float(np.median(lat))
+        # co-located protocol (VERDICT r4 #3): the tunneled 'device' stage
+        # is dominated by the ~25 ms/RTT tunnel; a co-located host pays
+        # the actual device-program time instead.  Record it from a
+        # profiler trace of the same fused serve program.
+        p50_co_ms = None
+        try:
+            import os as _os
+            import sys as _sys
+
+            _sys.path.insert(0, _os.path.join(
+                _os.path.dirname(_os.path.abspath(__file__)), "scripts"))
+            from ktime import device_ms
+
+            def serve_traced():
+                kv.predict(page)   # syncs internally (packed fetch)
+                return jnp.zeros(())
+
+            dev_ms = device_ms(serve_traced, iters=5, warmup=1)
+            p50_co_ms = float(np.median(stage["prep"])
+                              + dev_ms
+                              + np.median(stage["strings"]))
+        except Exception:
+            pass
 
     result = {
         "metric": "train images/sec/chip (512^2 chargrid, 3-block MSAU)",
@@ -170,6 +197,10 @@ def main():
     }
     if p50_ms is not None:
         result["p50_e2e_serve_ms"] = round(p50_ms, 1)
+        if p50_co_ms is not None:
+            # co-located protocol: host prep + device-trace program time +
+            # host strings (no tunnel round trips)
+            result["p50_co_located_serve_ms"] = round(p50_co_ms, 1)
     print(json.dumps(result))
 
 

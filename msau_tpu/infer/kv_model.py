@@ -275,12 +275,22 @@ class KVModel:
 
     # ------------------------------------------------------------------
     def predict(
-        self, data, label_path: Optional[str] = None, eval_results=None
+        self, data, label_path: Optional[str] = None, eval_results=None,
+        timings: Optional[Dict[str, float]] = None,
     ) -> Tuple[Dict[str, str], Dict]:
-        """data: a Page, or a path to a layout/OCR JSON, or (json_path, img)."""
+        """data: a Page, or a path to a layout/OCR JSON, or (json_path, img).
+
+        ``timings``: optional dict filled with per-stage host wall times
+        (ms): 'prep' (box programs + packing), 'device' (dispatch + packed
+        fetch, includes the tunnel round trip on remote backends),
+        'strings' (host value assembly).
+        """
+        import time as _time
+
         if isinstance(data, tuple):
             data = data[0]
         page = data if isinstance(data, Page) else load_label_json_page(data)
+        t0 = _time.perf_counter()
         progs, scaled_lines, arrays, hb, wb = self._prepare_host(page)
         num_lines = round_up(max(len(scaled_lines), 1), 128)
 
@@ -289,6 +299,7 @@ class KVModel:
         # fed by ONE packed upload, answered by ONE packed fetch
         cap, lcap = arrays[1].shape[0], arrays[3].shape[0]
         buf = np.concatenate([np.asarray(a).ravel() for a in arrays])
+        t1 = _time.perf_counter()
         # the np buffer rides the dispatch (implicit transfer) instead of a
         # separate synchronous jnp.asarray upload — measured ~2 ms/request
         # on the tunneled backend (scripts/exp_serve_upload.py)
@@ -296,9 +307,16 @@ class KVModel:
             self.params, buf,
             hb=hb, wb=wb, num_lines=num_lines, cap=cap, lcap=lcap,
         )
-        host = unpack_decode_out(np.asarray(packed), self.n_class, 8, num_lines)
+        packed_host = np.asarray(packed)  # the single device->host sync
+        t2 = _time.perf_counter()
+        host = unpack_decode_out(packed_host, self.n_class, 8, num_lines)
         values = extract_values(host, scaled_lines, self.schema)
         kv_results = post_process_kv(values, self.schema)
+        if timings is not None:
+            t3 = _time.perf_counter()
+            timings["prep"] = (t1 - t0) * 1e3
+            timings["device"] = (t2 - t1) * 1e3
+            timings["strings"] = (t3 - t2) * 1e3
 
         extras = {
             "values": values,

@@ -1723,6 +1723,14 @@ def flat_deconv2(x_body: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     assert w.shape[:2] == (3, 3), w.shape
     if geom_in.sp > 1:
         return None  # spatially sharded deconvs keep the two-op path
+    if geom_out.Wp % 128:
+        # measured on-chip (flagship bs=16 device trace): the fused kernel
+        # wins only on lane-aligned outputs (scale-0 512^2: fwd 2.52 ->
+        # 1.61, bwd 4.47 -> 4.09 ms) — on the unaligned scale-1 geometry
+        # its misaligned VMEM tap copies LOSE to the two-op path (fwd
+        # <=1.36 -> 1.90, bwd 2.04 -> 2.47 ms), so those keep
+        # flat_upsample2 + flat_conv2d.
+        return None
     if _deconv_tiles(geom_in, geom_out) is None:
         return None
     t, t_in = _deconv_tiles(geom_in, geom_out)
@@ -1790,6 +1798,211 @@ def _pool2_even_bwd(geom_in, geom_out, x_body, g):
 _pool2_even.defvjp(_pool2_even_fwd, _pool2_even_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas 2x2 maxpool (forward + routed backward in one kernel each)
+# ---------------------------------------------------------------------------
+#
+# The XLA _pool2_even path costs ~4.3 ms fwd+bwd per stage at the flagship
+# shapes (isolated, scripts/exp_pool_cost.py: 2.83 + 0.86 + 0.63 ms for the
+# three scales) — its fwd materializes the row-half slices and the to_body
+# re-pad, and its bwd runs interior pads + concats over full tensors.  The
+# fused kernels do the row-pair max on contiguous Wp-chunks in VMEM, take
+# the column-pair max with a shift, and COMPACT even columns with the 0/1
+# insert-matrix transpose on the MXU (selection is linear, so a matmul
+# does it exactly — max first, select after).  The backward recomputes the
+# winners from x and routes the cotangent with two shifts and selects; no
+# interior pads, concats, or scatters touch HBM.
+
+
+def _pool_tiles(geom_in: FlatGeom, geom_out: FlatGeom):
+    """(t_fwd, t_bwd) row-block tiles for the fused pool, or None.
+
+    fwd grids over geom_out blocks of t rows reading 2t input rows; bwd
+    grids over geom_in blocks of t_bwd rows reading t_bwd/2 cotangent
+    rows.  All window offsets/lengths must be 128-aligned (no rounding
+    slack is available: the windows end exactly at the body tail).
+    """
+    if (geom_out.H * 2, geom_out.W * 2) != (geom_in.H, geom_in.W):
+        return None
+    wp_in, wp_out = geom_in.Wp, geom_out.Wp
+    tf_ = [t for t in range(1, geom_out.tile_h + 1)
+           if geom_out.tile_h % t == 0 and (t * wp_out) % 128 == 0
+           and (2 * t * wp_in) % 128 == 0]
+    tb = [t for t in range(2, geom_in.tile_h + 1, 2)
+          if geom_in.tile_h % t == 0 and (t * wp_in) % 128 == 0
+          and ((t // 2) * wp_out) % 128 == 0]
+    if not tf_ or not tb:
+        return None
+    return max(tf_), max(tb)
+
+
+def _shift_left1(v):
+    """v[:, q] -> v[:, q+1] content (drop col 0 ... append zero)."""
+    return jax.lax.pad(v[:, 1:], jnp.zeros((), v.dtype),
+                       ((0, 0, 0), (0, 1, 0)))
+
+
+def _shift_right1(v):
+    return jax.lax.pad(v[:, :-1], jnp.zeros((), v.dtype),
+                       ((0, 0, 0), (1, 0, 0)))
+
+
+def _mp_fwd_kernel(x_ref, sel_ref, o_ref, *, t, wp_in, wp_out, g_blk,
+                   n_blk, nb, precision):
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        for i in range(nb):
+            for r in range(t):
+                # maxes in f32 (Mosaic lacks bf16 vector comparisons);
+                # the values stay exactly representable, so casting the
+                # winner back for the MXU selection dot is lossless
+                a = x_ref[i, :, (2 * r) * wp_in:
+                          (2 * r + 1) * wp_in].astype(jnp.float32)
+                b = x_ref[i, :, (2 * r + 1) * wp_in:
+                          (2 * r + 2) * wp_in].astype(jnp.float32)
+                rows = jnp.maximum(a, b)
+                me = jnp.maximum(rows, _shift_left1(rows)).astype(
+                    x_ref.dtype)
+                p = jax.lax.dot_general(
+                    me, sel_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                o_ref[i, :, r * wp_out:(r + 1) * wp_out] = p.astype(
+                    o_ref.dtype)
+
+
+def _mp_bwd_kernel(x_ref, g_ref, m_ref, o_ref, *, t, wp_in, wp_out,
+                   g_blk, n_blk, nb, precision):
+    # t here is t_bwd (geom_in rows per block); m_ref: [wp_out, wp_in]
+    # insert matrix dilating the cotangent row back to even input columns
+    bi = pl.program_id(1)
+    is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
+
+    @pl.when(is_guard)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_not(is_guard))
+    def _():
+        for i in range(nb):
+            for m in range(t // 2):
+                a = x_ref[i, :, (2 * m) * wp_in:
+                          (2 * m + 1) * wp_in].astype(jnp.float32)
+                b = x_ref[i, :, (2 * m + 1) * wp_in:
+                          (2 * m + 2) * wp_in].astype(jnp.float32)
+                rows = jnp.maximum(a, b)
+                grow = g_ref[i, :, m * wp_out:(m + 1) * wp_out]
+                dup = jax.lax.dot_general(
+                    grow, m_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)  # [c, wp_in], content at even q
+                # ties to the even column / the upper row, matching
+                # _pool2_even_bwd (reduce_window first-match semantics).
+                # everything in f32: Mosaic has no bf16 vector cmpf
+                # ("Target does not support this comparison")
+                ge = rows >= _shift_left1(rows)
+                dcol = (jnp.where(ge, dup, 0.0)
+                        + _shift_right1(jnp.where(ge, 0.0, dup)))
+                m_a = a >= b
+                o_ref[i, :, (2 * m) * wp_in:(2 * m + 1) * wp_in] = (
+                    jnp.where(m_a, dcol, 0.0).astype(o_ref.dtype))
+                o_ref[i, :, (2 * m + 1) * wp_in:(2 * m + 2) * wp_in] = (
+                    jnp.where(m_a, 0.0, dcol).astype(o_ref.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flat_maxpool2_prim(x_body, geom_in: FlatGeom, geom_out: FlatGeom):
+    n, c, lb = x_body.shape
+    assert lb == geom_in.LB, (x_body.shape, geom_in)
+    t, _ = _pool_tiles(geom_in, geom_out)
+    wp_in, wp_out = geom_in.Wp, geom_out.Wp
+    g_blk = geom_out.tile_h // t
+    n_blk = geom_out.H // t + 2 * g_blk
+    itemsize = x_body.dtype.itemsize
+    len_x = 2 * t * wp_in
+    # per-image f32 temporaries (a/b/rows/me per row iteration) are NOT
+    # reused across the unrolled loops (see _batch_block) — uncounted,
+    # the scale-0 bwd kernel measured 16.99M scoped vs the 16M limit
+    nb = _batch_block(n, c * len_x * itemsize,
+                      c * t * wp_out * itemsize,
+                      0, t * 4 * c * wp_in * 4)
+    hi = geom_in.LB - len_x
+
+    def x_index(ni, bi):
+        s = (bi - g_blk) * len_x + geom_in.S
+        return (ni * nb, 0, pl.multiple_of(jnp.clip(s, 0, hi), 128))
+
+    kernel = functools.partial(
+        _mp_fwd_kernel, t=t, wp_in=wp_in, wp_out=wp_out, g_blk=g_blk,
+        n_blk=n_blk, nb=nb, precision=_dot_precision(x_body.dtype))
+    sel = jnp.transpose(_insert_matrix(geom_out, geom_in, x_body.dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(n // nb, n_blk),
+        in_specs=[
+            pl.BlockSpec((pl.Element(nb), pl.Element(c),
+                          pl.Element(len_x)), x_index),
+            pl.BlockSpec((wp_in, wp_out), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, c, t * wp_out),
+                               lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, c, geom_out.LB), x_body.dtype),
+        interpret=_use_interpret(),
+    )(x_body, sel)
+
+
+def _flat_maxpool2_fwd(x_body, geom_in, geom_out):
+    return _flat_maxpool2_prim(x_body, geom_in, geom_out), x_body
+
+
+def _flat_maxpool2_bwd(geom_in, geom_out, x_body, g):
+    n, c, _ = x_body.shape
+    _, t = _pool_tiles(geom_in, geom_out)
+    wp_in, wp_out = geom_in.Wp, geom_out.Wp
+    g_blk = geom_in.tile_h // t
+    n_blk = geom_in.H // t + 2 * g_blk
+    itemsize = x_body.dtype.itemsize
+    g = g.astype(x_body.dtype)
+    len_g = (t // 2) * wp_out
+    hi = geom_out.LB - len_g
+    nb = _batch_block(n, c * (t * wp_in + len_g) * itemsize,
+                      c * t * wp_in * itemsize,
+                      0, (t // 2) * 6 * c * wp_in * 4)
+
+    def g_index(ni, bi):
+        s = (bi - g_blk) * len_g + geom_out.S
+        return (ni * nb, 0, pl.multiple_of(jnp.clip(s, 0, hi), 128))
+    kernel = functools.partial(
+        _mp_bwd_kernel, t=t, wp_in=wp_in, wp_out=wp_out, g_blk=g_blk,
+        n_blk=n_blk, nb=nb, precision=_dot_precision(x_body.dtype))
+    mt = _insert_matrix(geom_out, geom_in, x_body.dtype)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(n // nb, n_blk),
+        in_specs=[
+            pl.BlockSpec((nb, c, t * wp_in), lambda ni, bi: (ni, 0, bi)),
+            pl.BlockSpec((pl.Element(nb), pl.Element(c),
+                          pl.Element(len_g)), g_index),
+            pl.BlockSpec((wp_out, wp_in), lambda ni, bi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, c, t * wp_in),
+                               lambda ni, bi: (ni, 0, bi)),
+        out_shape=jax.ShapeDtypeStruct((n, c, geom_in.LB), x_body.dtype),
+        interpret=_use_interpret(),
+    )(x_body, g, mt)
+    return (dx,)
+
+
+_flat_maxpool2_prim.defvjp(_flat_maxpool2_fwd, _flat_maxpool2_bwd)
+
+
 def body_maxpool2(x_body: jnp.ndarray, geom_in: FlatGeom,
                   geom_out: FlatGeom) -> jnp.ndarray:
     """2x2 stride-2 SAME max pool on body-flat tensors.
@@ -1810,6 +2023,10 @@ def body_maxpool2(x_body: jnp.ndarray, geom_in: FlatGeom,
         p = x.reshape(n, c, h2 // 2, 2, w2 // 2, 2).max(axis=(3, 5))
         assert (p.shape[2], p.shape[3]) == (geom_out.H, geom_out.W)
         return to_body(p, geom_out)
+    # pool windows never cross rows outside their pair, so spatially
+    # sharded layouts (sp > 1) need no halo and use the same kernel
+    if _pool_tiles(geom_in, geom_out) is not None:
+        return _flat_maxpool2_prim(x_body, geom_in, geom_out)
     return _pool2_even(x_body, geom_in, geom_out)
 
 

@@ -247,7 +247,7 @@ def _res_fwd_kernel(g_ref, f_ref, h_ref, o_ref, m_ref, l_ref, *,
     lrow = jnp.sum(p, axis=1, keepdims=True)
     m_ref[:] = mrow
     l_ref[:] = lrow
-    a = (p / lrow).astype(acc_dtype)
+    a = (p * (1.0 / lrow)).astype(acc_dtype)
 
     @pl.when(i == 0)
     def _():
@@ -302,13 +302,18 @@ def _res_precision(dtype):
             else jax.lax.Precision.HIGHEST)
 
 
-def _res_block_i(t: int, c: int, cap: int = 256) -> int:
-    """Largest divisor of T <= cap keeping the [Bi, T] f32 temporaries
-    (~3 live) plus residents inside ~10 MiB."""
-    budget = 10 * 2**20 - (2 * t * c + t * 8) * 4
+def _res_block_i(t: int, c: int, cap: int = 256, live: int = 3) -> int:
+    """Largest divisor of T <= cap whose [Bi, T] f32 temporaries fit.
+
+    Mosaic reuses the softmax temporaries' buffers, so the effective live
+    count is ~1.5 despite 3-4 being written (calibrated on-chip: the bwd
+    kernel at T=4096, Bi=256 compiles and is the measured optimum —
+    3.17 ms fwd+bwd vs einsum's 7.78; scripts/exp_attn_resident.py).
+    ``cap`` 512 fwd / 256 bwd from the same sweep."""
+    budget = 14 * 2**20 - (2 * t * c + t * 8) * 4
     bi = 1
-    for cand in (256, 128, 64, 32, 16, 8):
-        if cand <= cap and t % cand == 0 and 3 * cand * t * 4 <= budget:
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if cand <= cap and t % cand == 0 and 1.5 * cand * t * 4 <= budget:
             bi = cand
             break
     return bi
@@ -330,7 +335,7 @@ def _resident_attention_vjp(f, g, h, interpret):
 def _resident_forward(f, g, h, interpret):
     n, t, cb = f.shape
     c = h.shape[-1]
-    bi = _res_block_i(t, c)
+    bi = _res_block_i(t, c, cap=512)  # measured fwd optimum (sweep)
     acc_dtype = (jnp.bfloat16 if jnp.dtype(f.dtype) == jnp.bfloat16
                  else jnp.float32)
     kernel = functools.partial(
@@ -378,7 +383,7 @@ def _resident_bwd(interpret, res, dout):
     f, g, h, m, l = res
     n, t, cb = f.shape
     c = h.shape[-1]
-    bi = _res_block_i(t, c)
+    bi = _res_block_i(t, c, cap=256)  # measured bwd optimum (sweep)
     acc_dtype = (jnp.bfloat16 if jnp.dtype(f.dtype) == jnp.bfloat16
                  else jnp.float32)
     dout = dout.astype(h.dtype)

@@ -53,6 +53,16 @@ def main(argv=None):
     ap.add_argument("--model", default="msau", choices=["msau", "msau_box"],
                     help="msau_box = BMSAU box-convolution variant "
                     "(reference model/model_box.py:313-406)")
+    # BMSAU quality-gap sweep knobs (VERDICT r4 #5)
+    ap.add_argument("--num_boxes", type=int, default=0,
+                    help="msau_box: boxes per channel (default config: 3)")
+    ap.add_argument("--max_box_size", type=int, default=0,
+                    help="msau_box: coordinate clamp (default: 28)")
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override adam learning rate (default 2e-3)")
+    ap.add_argument("--box_lr", type=float, default=0.0,
+                    help="msau_box: decoupled LR for the box coordinate "
+                    "params (ybox/xbox); default = --lr")
     args = ap.parse_args(argv)
     quick = args.quick or args.smoke
 
@@ -148,11 +158,32 @@ def main(argv=None):
         num_blocks=1 if quick else 2,
         dtype="bfloat16" if args.dtype == "bf16" else "float32",
         flat_scales=args.flat if args.model == "msau" else 0,
+        **({"num_box_per_channel": args.num_boxes} if args.num_boxes else {}),
+        **({"max_box_size": args.max_box_size} if args.max_box_size else {}),
     )
     model = build_model(mc)
     params = model.init(jax.random.PRNGKey(args.seed), batches[0][0][:1])
     cw = jnp.asarray([0.02] + [1.0] * (n_class - 1))
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-3))
+    lr = args.lr or 2e-3
+    if args.box_lr and args.model == "msau_box":
+        # decoupled box-coordinate LR: the coords are in PIXEL units while
+        # the conv weights are O(1), so one global adam LR under-steps
+        # them (VERDICT r4 #5 diagnosis sweep)
+        import flax
+
+        def label_fn(params):
+            flat = flax.traverse_util.flatten_dict(params)
+            lab = {k: ("box" if k[-1] in ("ybox", "xbox") else "rest")
+                   for k in flat}
+            return flax.traverse_util.unflatten_dict(lab)
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.multi_transform(
+                {"box": optax.adam(args.box_lr), "rest": optax.adam(lr)},
+                label_fn))
+    else:
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = tx.init(params)
 
     # flat_scales emits compact NCHW logits straight from the body layout;

@@ -23,6 +23,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+try:
+    # reuse compiled programs across test runs: the interpret-mode Pallas
+    # compiles dominate suite wall time and are identical run to run
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 import numpy as np
 import pytest

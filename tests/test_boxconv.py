@@ -91,6 +91,7 @@ class TestBoxConv:
 
 
 class TestBMSAU:
+    @pytest.mark.slow
     def test_forward_and_grad(self, rng):
         from msau_tpu.config import ModelConfig
         from msau_tpu.models.msau import build_model

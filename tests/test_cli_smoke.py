@@ -10,6 +10,7 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_train_generic_entry_b(tmp_path):
     """Entry-B pipeline: label JSONs + charset -> threaded provider ->
     staircase-LR trainer -> checkpoint."""
@@ -41,6 +42,7 @@ def test_train_generic_entry_b(tmp_path):
     assert any(p.name.startswith("model") for p in out.iterdir())
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_train_generic_multidevice(tmp_path):
     """--devices builds a data Mesh reachable from the CLI (VERDICT r2 #5):
@@ -75,6 +77,7 @@ def test_train_generic_multidevice(tmp_path):
     assert any(p.name.startswith("model") for p in out.iterdir())
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_train_funsd_multidevice(tmp_path):
     """Entry-A CLI with --devices 2 --batch_size 2: same-shape word grids

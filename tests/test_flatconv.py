@@ -149,6 +149,7 @@ def test_grads_match_oracle(h, w, cin, cout, kh, kw, d, pad):
         )
 
 
+@pytest.mark.slow
 def test_wide_cin_chunked_matches_oracle():
     """cin wider than the VMEM tap-stack budget splits into summed chunks.
 
@@ -233,6 +234,7 @@ def test_bf16_forward_close():
                                rtol=0.1, atol=0.1)
 
 
+@pytest.mark.slow
 def test_flat_model_parity():
     """flat_scales model == NHWC model with identical params (same tree)."""
     import dataclasses
@@ -254,6 +256,7 @@ def test_flat_model_parity():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_flat_model_grads_match():
     """Train-style gradients agree between flat and NHWC layouts (CPU)."""
     import dataclasses
@@ -288,6 +291,7 @@ def test_flat_model_grads_match():
         )
 
 
+@pytest.mark.slow
 def test_nchw_loss_path_matches_nhwc():
     """make_train_step with flat_scales (NCHW logits loss) == NHWC step."""
     import dataclasses
@@ -316,6 +320,7 @@ def test_nchw_loss_path_matches_nhwc():
     np.testing.assert_allclose(losses[1], losses[0], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flat_model_dp_mesh_parity():
     """flat_scales train step under an 8-way data-parallel mesh == single."""
     import optax
@@ -402,6 +407,7 @@ def test_geometry_respects_dtype_vmem_budget():
         512, 512, 2, 32)
 
 
+@pytest.mark.slow
 def test_body_loss_boundary_matches_nhwc():
     """Train-step loss/grads with BODY logits + body labels == the NHWC
     path (round-3: the loss consumes raw [N, C, LB] logits; labels move
@@ -443,6 +449,7 @@ def test_body_loss_boundary_matches_nhwc():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_flat_upsample2_matches_body_upsample2():
     """The Pallas zero-insert kernel == the XLA round-trip upsample
     (forward and VJP), at a geometry satisfying its alignment rules."""
@@ -731,3 +738,56 @@ def test_flat_deconv2_grads_match(h, w, cin, cout):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3,
             err_msg=f"grad wrt {name}")
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas 2x2 maxpool
+
+
+def _pool_geoms(h, w):
+    gi = choose_geom(h, w)
+    go = choose_geom(h // 2, w // 2, wp_mod=8)
+    return gi, go
+
+
+@pytest.mark.parametrize("h,w,c", [(32, 64, 8), (16, 48, 16)])
+def test_flat_maxpool2_matches_xla_path(h, w, c):
+    from msau_tpu.ops.flatconv import (
+        _flat_maxpool2_prim,
+        _pool2_even,
+        _pool_tiles,
+    )
+
+    gi, go = _pool_geoms(h, w)
+    if _pool_tiles(gi, go) is None:
+        pytest.skip(f"no fused pool tiling for {gi} -> {go}")
+    x = _mk(gi, c, jax.random.PRNGKey(0))
+    got = _flat_maxpool2_prim(x, gi, go)
+    want = _pool2_even(x, gi, go)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_flat_maxpool2_grads_match_xla_path():
+    from msau_tpu.ops.flatconv import (
+        _flat_maxpool2_prim,
+        _pool2_even,
+        _pool_tiles,
+        body_mask,
+    )
+
+    gi, go = _pool_geoms(32, 64)
+    if _pool_tiles(gi, go) is None:
+        pytest.skip(f"no fused pool tiling for {gi} -> {go}")
+    c = 8
+    # duplicate values across pool windows exercise the tie rules
+    x = _mk(gi, c, jax.random.PRNGKey(1))
+    x = jnp.round(x * 2) / 2
+    cw = body_mask(
+        jax.random.normal(jax.random.PRNGKey(2), (2, c, go.LB)), go)
+
+    g_got = jax.grad(
+        lambda x: jnp.sum(_flat_maxpool2_prim(x, gi, go) * cw))(x)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(_pool2_even(x, gi, go) * cw))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)

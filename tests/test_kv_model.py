@@ -84,6 +84,7 @@ class TestKVModel:
         results, _ = kv.predict(page)
         assert isinstance(results, dict)
 
+    @pytest.mark.slow
     def test_load_from_checkpoint(self, charset_file, tmp_path):
         """KVModel.load(model_weight=...) restores orbax params saved by the
         Trainer — the train -> serve handoff."""
@@ -116,6 +117,7 @@ class TestKVModel:
         r2, _ = kv2.predict(FIXTURE)
         assert r1 == r2
 
+    @pytest.mark.slow
     def test_predict_batch_matches_single(self, charset_file):
         kv = make_kv_model(charset_file)
         page = load_label_json_page(FIXTURE)

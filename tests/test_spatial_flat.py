@@ -68,6 +68,7 @@ def test_sharded_conv_matches_unsharded(d):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_conv_grads_route_across_shards():
     g_full, g_sh = _full_geom(), _shard_geom()
     x = jax.random.normal(jax.random.PRNGKey(3), (2, C, H, W))
@@ -94,6 +95,7 @@ def _model_cfgs():
     return cfg1, dataclasses.replace(cfg1, spatial_shards=SP)
 
 
+@pytest.mark.slow
 def test_model_spatial_shards_parity():
     cfg1, cfg2 = _model_cfgs()
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 6))
@@ -120,6 +122,7 @@ def test_model_spatial_shards_parity():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-2
 
 
+@pytest.mark.slow
 def test_model_spatial_shards_on_mesh():
     """Full train step, flat layout, data x spatial mesh == single device."""
     if len(jax.devices()) < 4:

@@ -8,6 +8,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -62,6 +63,7 @@ def test_structured_batch_learnable():
         assert sig > 0.5, (c, sig)
 
 
+@pytest.mark.slow
 def test_corpus_eval_script_smoke(tmp_path):
     """The held-out F1 script must run end-to-end (VERDICT round-2 #6)."""
     proc = subprocess.run(
