@@ -1394,8 +1394,8 @@ def _dc_z0(wp_out: int) -> int:
 
 
 def _dc_fwd_kernel(x_ref, mi_ref, w_ref, b_ref, mask_ref, o_ref, ups_ref,
-                   xs_ref, *, t, wp_in, wp_out, cin, cout, g_blk, n_blk,
-                   nb, precision):
+                   xs_ref, rs_ref, *, t, wp_in, wp_out, cin, cout, g_blk,
+                   n_blk, nb, precision):
     z0 = _dc_z0(wp_out)
     pad0 = 128
     stride = t * wp_out
@@ -1417,14 +1417,19 @@ def _dc_fwd_kernel(x_ref, mi_ref, w_ref, b_ref, mask_ref, o_ref, ups_ref,
                 # margins + even-j (odd up) rows; odd-j rows are fully
                 # overwritten below for every image
                 ups_ref[:] = jnp.zeros_like(ups_ref)
+            # stack the window's x rows and dilate with ONE MXU dot
+            # (t/2+1 per-row dots ran at M=cin rows; see _mp_fwd_kernel)
+            for m in range(t // 2 + 1):
+                rs_ref[m * cin:(m + 1) * cin, :] = x_ref[
+                    i, :, m * wp_in:(m + 1) * wp_in]
+            drows = jax.lax.dot_general(
+                rs_ref[:], mi_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)  # [(t/2+1)*cin, wp_out]
             for j in range(1, t + 2, 2):
                 m = (j - 1) // 2
-                row = x_ref[i, :, m * wp_in:(m + 1) * wp_in]
                 ups_ref[:, pad0 + j * wp_out:pad0 + (j + 1) * wp_out] = (
-                    jax.lax.dot_general(
-                        row, mi_ref[:], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision).astype(ups_ref.dtype))
+                    drows[m * cin:(m + 1) * cin].astype(ups_ref.dtype))
             for ky in range(3):
                 q = pad0 + ky * wp_out - 1 - z0  # pleft = 1
                 xs_ref[ky * cin:(ky + 1) * cin, :cw] = ups_ref[:, q:q + cw]
@@ -1493,8 +1498,8 @@ def _dc_dx_kernel(g_ref, mt_ref, wt_ref, o_ref, xs_ref, *, t_in, wp_in,
 
 
 def _dc_dw_kernel(x_ref, g_ref, mi_ref, dw_ref, ups_ref, xs_ref, gs_ref,
-                  *, t, wp_in, wp_out, cin, cout, g_blk, n_blk, nb,
-                  precision):
+                  rs_ref, *, t, wp_in, wp_out, cin, cout, g_blk, n_blk,
+                  nb, precision):
     # same dilated-taps preamble as the forward, accumulating
     # dw[ky*cin+ci, kx*cout+co] like flatconv._dw_kernel (sequential-grid
     # revisit accumulation — do NOT mark grid dims parallel)
@@ -1526,14 +1531,19 @@ def _dc_dw_kernel(x_ref, g_ref, mi_ref, dw_ref, ups_ref, xs_ref, gs_ref,
                 # margins + even-j (odd up) rows; odd-j rows are fully
                 # overwritten below for every image
                 ups_ref[:] = jnp.zeros_like(ups_ref)
+            # stack the window's x rows and dilate with ONE MXU dot
+            # (t/2+1 per-row dots ran at M=cin rows; see _mp_fwd_kernel)
+            for m in range(t // 2 + 1):
+                rs_ref[m * cin:(m + 1) * cin, :] = x_ref[
+                    i, :, m * wp_in:(m + 1) * wp_in]
+            drows = jax.lax.dot_general(
+                rs_ref[:], mi_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)  # [(t/2+1)*cin, wp_out]
             for j in range(1, t + 2, 2):
                 m = (j - 1) // 2
-                row = x_ref[i, :, m * wp_in:(m + 1) * wp_in]
                 ups_ref[:, pad0 + j * wp_out:pad0 + (j + 1) * wp_out] = (
-                    jax.lax.dot_general(
-                        row, mi_ref[:], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision).astype(ups_ref.dtype))
+                    drows[m * cin:(m + 1) * cin].astype(ups_ref.dtype))
             for ky in range(3):
                 q = pad0 + ky * wp_out - 1 - z0
                 xs_ref[ky * cin:(ky + 1) * cin, :cw] = ups_ref[:, q:q + cw]
@@ -1602,6 +1612,7 @@ def _flat_deconv2_prim(x_body, w, b, geom_in: FlatGeom,
         scratch_shapes=[
             pltpu.VMEM((cin, 256 + (t + 2) * wp_out), x_body.dtype),
             pltpu.VMEM((3 * cin, cwp), x_body.dtype),
+            pltpu.VMEM(((t // 2 + 1) * cin, wp_in), x_body.dtype),
         ],
         interpret=_use_interpret(),
     )(x_body, _insert_matrix(geom_in, geom_out, x_body.dtype),
@@ -1696,6 +1707,7 @@ def _flat_deconv2_bwd(geom_in, geom_out, res, g):
             pltpu.VMEM((cin, 256 + (t + 2) * wp_out), x_body.dtype),
             pltpu.VMEM((3 * cin, cwp), x_body.dtype),
             pltpu.VMEM((3 * cout, cwp), x_body.dtype),
+            pltpu.VMEM(((t // 2 + 1) * cin, wp_in), x_body.dtype),
         ],
         interpret=_use_interpret(),
     )(x_body, g, _insert_matrix(geom_in, geom_out, x_body.dtype))
@@ -1847,8 +1859,8 @@ def _shift_right1(v):
                        ((0, 0, 0), (1, 0, 0)))
 
 
-def _mp_fwd_kernel(x_ref, sel_ref, o_ref, *, t, wp_in, wp_out, g_blk,
-                   n_blk, nb, precision):
+def _mp_fwd_kernel(x_ref, sel_ref, o_ref, ms_ref, *, t, wp_in, wp_out,
+                   g_blk, n_blk, nb, c, precision):
     bi = pl.program_id(1)
     is_guard = jnp.logical_or(bi < g_blk, bi >= n_blk - g_blk)
 
@@ -1859,6 +1871,8 @@ def _mp_fwd_kernel(x_ref, sel_ref, o_ref, *, t, wp_in, wp_out, g_blk,
     @pl.when(jnp.logical_not(is_guard))
     def _():
         for i in range(nb):
+            # stack all t row winners, then ONE [t*C, Wp_in] selection dot
+            # (per-row dots ran the MXU at M=C=8 rows; the stack amortizes)
             for r in range(t):
                 # maxes in f32 (Mosaic lacks bf16 vector comparisons);
                 # the values stay exactly representable, so casting the
@@ -1868,18 +1882,19 @@ def _mp_fwd_kernel(x_ref, sel_ref, o_ref, *, t, wp_in, wp_out, g_blk,
                 b = x_ref[i, :, (2 * r + 1) * wp_in:
                           (2 * r + 2) * wp_in].astype(jnp.float32)
                 rows = jnp.maximum(a, b)
-                me = jnp.maximum(rows, _shift_left1(rows)).astype(
-                    x_ref.dtype)
-                p = jax.lax.dot_general(
-                    me, sel_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
-                o_ref[i, :, r * wp_out:(r + 1) * wp_out] = p.astype(
-                    o_ref.dtype)
+                ms_ref[r * c:(r + 1) * c, :] = jnp.maximum(
+                    rows, _shift_left1(rows)).astype(ms_ref.dtype)
+            p = jax.lax.dot_general(
+                ms_ref[:], sel_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)  # [t*C, Wp_out]
+            for r in range(t):
+                o_ref[i, :, r * wp_out:(r + 1) * wp_out] = (
+                    p[r * c:(r + 1) * c].astype(o_ref.dtype))
 
 
-def _mp_bwd_kernel(x_ref, g_ref, m_ref, o_ref, *, t, wp_in, wp_out,
-                   g_blk, n_blk, nb, precision):
+def _mp_bwd_kernel(x_ref, g_ref, m_ref, o_ref, gs_ref, *, t, wp_in,
+                   wp_out, g_blk, n_blk, nb, c, precision):
     # t here is t_bwd (geom_in rows per block); m_ref: [wp_out, wp_in]
     # insert matrix dilating the cotangent row back to even input columns
     bi = pl.program_id(1)
@@ -1892,17 +1907,22 @@ def _mp_bwd_kernel(x_ref, g_ref, m_ref, o_ref, *, t, wp_in, wp_out,
     @pl.when(jnp.logical_not(is_guard))
     def _():
         for i in range(nb):
+            # stack the block's cotangent rows, then ONE dilation dot
+            # (per-row dots ran the MXU at M=C rows; see _mp_fwd_kernel)
+            for m in range(t // 2):
+                gs_ref[m * c:(m + 1) * c, :] = g_ref[i, :, m * wp_out:
+                                                     (m + 1) * wp_out]
+            dups = jax.lax.dot_general(
+                gs_ref[:], m_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)  # [(t/2)*C, Wp_in], even-q content
             for m in range(t // 2):
                 a = x_ref[i, :, (2 * m) * wp_in:
                           (2 * m + 1) * wp_in].astype(jnp.float32)
                 b = x_ref[i, :, (2 * m + 1) * wp_in:
                           (2 * m + 2) * wp_in].astype(jnp.float32)
                 rows = jnp.maximum(a, b)
-                grow = g_ref[i, :, m * wp_out:(m + 1) * wp_out]
-                dup = jax.lax.dot_general(
-                    grow, m_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)  # [c, wp_in], content at even q
+                dup = dups[m * c:(m + 1) * c]
                 # ties to the even column / the upper row, matching
                 # _pool2_even_bwd (reduce_window first-match semantics).
                 # everything in f32: Mosaic has no bf16 vector cmpf
@@ -1941,7 +1961,7 @@ def _flat_maxpool2_prim(x_body, geom_in: FlatGeom, geom_out: FlatGeom):
 
     kernel = functools.partial(
         _mp_fwd_kernel, t=t, wp_in=wp_in, wp_out=wp_out, g_blk=g_blk,
-        n_blk=n_blk, nb=nb, precision=_dot_precision(x_body.dtype))
+        n_blk=n_blk, nb=nb, c=c, precision=_dot_precision(x_body.dtype))
     sel = jnp.transpose(_insert_matrix(geom_out, geom_in, x_body.dtype))
     return pl.pallas_call(
         kernel,
@@ -1954,6 +1974,7 @@ def _flat_maxpool2_prim(x_body, geom_in: FlatGeom, geom_out: FlatGeom):
         out_specs=pl.BlockSpec((nb, c, t * wp_out),
                                lambda ni, bi: (ni, 0, bi)),
         out_shape=jax.ShapeDtypeStruct((n, c, geom_out.LB), x_body.dtype),
+        scratch_shapes=[pltpu.VMEM((t * c, wp_in), x_body.dtype)],
         interpret=_use_interpret(),
     )(x_body, sel)
 
@@ -1981,7 +2002,7 @@ def _flat_maxpool2_bwd(geom_in, geom_out, x_body, g):
         return (ni * nb, 0, pl.multiple_of(jnp.clip(s, 0, hi), 128))
     kernel = functools.partial(
         _mp_bwd_kernel, t=t, wp_in=wp_in, wp_out=wp_out, g_blk=g_blk,
-        n_blk=n_blk, nb=nb, precision=_dot_precision(x_body.dtype))
+        n_blk=n_blk, nb=nb, c=c, precision=_dot_precision(x_body.dtype))
     mt = _insert_matrix(geom_out, geom_in, x_body.dtype)
     dx = pl.pallas_call(
         kernel,
@@ -1995,6 +2016,7 @@ def _flat_maxpool2_bwd(geom_in, geom_out, x_body, g):
         out_specs=pl.BlockSpec((nb, c, t * wp_in),
                                lambda ni, bi: (ni, 0, bi)),
         out_shape=jax.ShapeDtypeStruct((n, c, geom_in.LB), x_body.dtype),
+        scratch_shapes=[pltpu.VMEM(((t // 2) * c, wp_out), x_body.dtype)],
         interpret=_use_interpret(),
     )(x_body, g, mt)
     return (dx,)

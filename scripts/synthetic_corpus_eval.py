@@ -60,6 +60,9 @@ def main(argv=None):
                     help="msau_box: coordinate clamp (default: 28)")
     ap.add_argument("--lr", type=float, default=0.0,
                     help="override adam learning rate (default 2e-3)")
+    ap.add_argument("--scales", type=int, default=3,
+                    help="scale_space_num (flat 3 needs 4: the deepest "
+                    "attention scale stays NHWC)")
     ap.add_argument("--box_lr", type=float, default=0.0,
                     help="msau_box: decoupled LR for the box coordinate "
                     "params (ybox/xbox); default = --lr")
@@ -154,7 +157,7 @@ def main(argv=None):
     mc = ModelConfig(
         model=args.model,
         img_channels=kv.charset.n_token, n_class=n_class,
-        scale_space_num=3, res_depth=2, feat_root=8,
+        scale_space_num=args.scales, res_depth=2, feat_root=8,
         num_blocks=1 if quick else 2,
         dtype="bfloat16" if args.dtype == "bf16" else "float32",
         flat_scales=args.flat if args.model == "msau" else 0,

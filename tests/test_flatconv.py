@@ -671,15 +671,21 @@ def test_concat_conv2d_wide_fallback():
 
 DC_CASES = [
     # (h_in, w_in, cin, cout) -> geom_out at (2h, 2w)
-    (16, 24, 8, 8),
-    (16, 32, 16, 8),      # aligned-out candidate
-    (12, 20, 8, 16),
+    (32, 64, 8, 8),
+    (32, 64, 16, 8),
+    (32, 96, 8, 16),
 ]
 
 
 def _dc_geoms(h, w):
     gi = choose_geom(h, w, wp_mod=8)
-    go = choose_geom(2 * h, 2 * w)
+    # flat_deconv2 gates on lane-aligned outputs (measured: it loses on
+    # unaligned Wp_out); small test resolutions need the guard tile
+    # forced to 32 for a feasible (t_out, t_in) pair, like the flagship
+    wo = 2 * w
+    p = ((-(-wo // 128) + (1 if wo % 128 == 0 else 0)) * 128 - wo) // 2
+    go = FlatGeom(2 * h, wo, p, 32)
+    assert go.Wp % 128 == 0 and (2 * h) % 32 == 0
     return gi, go
 
 
