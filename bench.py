@@ -152,7 +152,10 @@ def main():
         )
 
         def serve():
-            return kv.predict(page)  # extract_values syncs device->host
+            # serving protocol: packed tables only (return_maps=False);
+            # the probability-map extras are debug output and cost ~9 MB
+            # of eager tunnel streaming per request
+            return kv.predict(page, return_maps=False)
 
         serve()  # compile
         lat = []
@@ -160,7 +163,7 @@ def main():
         for _ in range(10):
             tm = {}
             t0 = time.perf_counter()
-            kv.predict(page, timings=tm)
+            kv.predict(page, timings=tm, return_maps=False)
             lat.append((time.perf_counter() - t0) * 1000)
             for k in stage:
                 stage[k].append(tm[k])
@@ -179,7 +182,7 @@ def main():
             from ktime import device_ms
 
             def serve_traced():
-                kv.predict(page)   # syncs internally (packed fetch)
+                kv.predict(page, return_maps=False)  # syncs internally
                 return jnp.zeros(())
 
             dev_ms = device_ms(serve_traced, iters=5, warmup=1)

@@ -38,6 +38,7 @@ from msau_tpu.ops.ccl import (
     component_stats,
     connected_components_jax,
     connected_components_multiclass,
+    connected_components_multiclass_auto,
 )
 from msau_tpu.ops.morphology import packed_closing
 
@@ -108,7 +109,14 @@ def decode_fields_device(
     lsb = closed_bits & -closed_bits
     owner = jax.lax.population_count(lsb - jnp.int32(1))
     cls_map = jnp.where(any_fg, owner + 2, 0).astype(jnp.int32)
-    labels = connected_components_multiclass(cls_map, max_iters=max_iters)
+    # VMEM-resident kernel when the map fits: the XLA while_loop paid HBM
+    # for every scan log-step and dominated the serve program (~145 ms of
+    # 175 at 512^2 on a noisy argmax map, scripts/exp_serve_families.py).
+    # In-core sweeps are ~3 orders cheaper, so the Pallas path spends a
+    # 4x sweep budget instead of the pointer-jump acceleration (gathers
+    # don't lower well in Mosaic) and still exits early at fixpoint.
+    labels = connected_components_multiclass_auto(
+        cls_map, max_iters=4 * max_iters)
 
     # slim per-root stats (VERDICT r3: component_stats' five segment
     # reductions were the decode's largest stage).  A root IS its

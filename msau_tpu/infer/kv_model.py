@@ -233,9 +233,11 @@ class KVModel:
 
             @functools.partial(
                 jax.jit,
-                static_argnames=("hb", "wb", "num_lines", "cap", "lcap"),
+                static_argnames=("hb", "wb", "num_lines", "cap", "lcap",
+                                 "return_maps"),
             )
-            def fn(params, buf, *, hb, wb, num_lines, cap, lcap):
+            def fn(params, buf, *, hb, wb, num_lines, cap, lcap,
+                   return_maps=True):
                 # the six box-program arrays arrive as ONE int32 buffer —
                 # on the tunneled backend every host->device transfer is a
                 # round trip, and six uploads cost ~20 ms of the p50
@@ -256,6 +258,14 @@ class KVModel:
                     n_class=n_class, num_lines=num_lines, k=8,
                     min_area=min_area, max_iters=max_iters,
                 )
+                if not return_maps:
+                    # deployment protocol: the [H, W, C] probability map
+                    # and chosen-class map are debug artifacts; on the
+                    # tunneled backend the client eagerly streams every
+                    # program output, so returning them cost ~9 MB and
+                    # ~20 ms per request (measured: prep stage 28 -> 16 ms,
+                    # total -24 ms at the bench page)
+                    return (pack_decode_out(dev),)
                 return pack_decode_out(dev), probs[0], dev["chosen_class"]
 
             self._serve = fn
@@ -277,6 +287,7 @@ class KVModel:
     def predict(
         self, data, label_path: Optional[str] = None, eval_results=None,
         timings: Optional[Dict[str, float]] = None,
+        return_maps: bool = True,
     ) -> Tuple[Dict[str, str], Dict]:
         """data: a Page, or a path to a layout/OCR JSON, or (json_path, img).
 
@@ -284,6 +295,12 @@ class KVModel:
         (ms): 'prep' (box programs + packing), 'device' (dispatch + packed
         fetch, includes the tunnel round trip on remote backends),
         'strings' (host value assembly).
+
+        ``return_maps=False`` is the serving protocol: the device program
+        returns ONLY the packed decode tables (extras omit 'pred'/
+        'chosen_class'), saving the ~9 MB/request map streaming a remote
+        client otherwise pays.  The default keeps the reference's predict
+        surface (inference/kv_model.py:298-312: pred rides the extras).
         """
         import time as _time
 
@@ -303,10 +320,12 @@ class KVModel:
         # the np buffer rides the dispatch (implicit transfer) instead of a
         # separate synchronous jnp.asarray upload — measured ~2 ms/request
         # on the tunneled backend (scripts/exp_serve_upload.py)
-        packed, pred, chosen = self._serve_fn()(
+        out = self._serve_fn()(
             self.params, buf,
             hb=hb, wb=wb, num_lines=num_lines, cap=cap, lcap=lcap,
+            return_maps=return_maps,
         )
+        packed, pred, chosen = out if return_maps else (out[0], None, None)
         packed_host = np.asarray(packed)  # the single device->host sync
         t2 = _time.perf_counter()
         host = unpack_decode_out(packed_host, self.n_class, 8, num_lines)
@@ -320,12 +339,13 @@ class KVModel:
 
         extras = {
             "values": values,
-            "pred": pred,
-            # [H, W] class id of selected pixels (new_pred_mask equivalent)
-            "chosen_class": chosen,
             "programs": progs,
             "scaled_lines": scaled_lines,
         }
+        if return_maps:
+            extras["pred"] = pred
+            # [H, W] class id of selected pixels (new_pred_mask equivalent)
+            extras["chosen_class"] = chosen
         if label_path is not None and eval_results is not None:
             from msau_tpu.infer.evaluate import accumulate_field_eval, read_json_gt
 

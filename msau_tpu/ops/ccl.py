@@ -240,3 +240,182 @@ def top_k_components(stats: Dict[str, jnp.ndarray], k: int = 8) -> Dict[str, jnp
         "x2": take(stats["x2"]),
         "valid": valid,
     }
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident Pallas CCL: the whole fixpoint loop in one kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA while_loop pays HBM for every associative-scan log-step of every
+# sweep (~36 dispatches/sweep); on a noisy argmax map that hits the sweep
+# cap this is ~145 ms of the serve program (scripts/exp_serve_families.py).
+# A [H, W] int32 label map is only H*W*4 bytes (1 MiB at 512^2), so the
+# ENTIRE iteration runs inside one Pallas kernel: labels live in VMEM, the
+# segmented min-scans are Hillis-Steele doubling over in-core shifts, and
+# the fixpoint exit is a scalar in the loop carry.  Same fixpoint (the
+# component's raster-first linear index + 1) as the XLA path.
+
+
+def _shift_val(v, axis: int, offset: int, fill):
+    """Static shift of a 2-D value by ``offset`` along ``axis`` (positive =
+    toward higher indices), vacated positions filled with ``fill``."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    h, w = v.shape
+    fillv = jnp.full_like(v, fill)
+    if offset == 0:
+        return v
+    if axis == 0:
+        if offset > 0:
+            return jnp.concatenate([fillv[:offset], v[:h - offset]], axis=0)
+        return jnp.concatenate([v[-offset:], fillv[:(-offset)]], axis=0)
+    if offset > 0:
+        return jnp.concatenate([fillv[:, :offset], v[:, :w - offset]],
+                               axis=1)
+    return jnp.concatenate([v[:, -offset:], fillv[:, :(-offset)]], axis=1)
+
+
+def _seg_min_doubling(vals, barrier, axis: int, reverse: bool,
+                      length: int, pos, unroll: bool):
+    """Segmented running min via Hillis-Steele doubling, in-core.
+
+    Matches _segmented_min_scan's combine: the min resets at positions
+    where ``barrier`` is set.  ``reverse`` scans from the high end.
+    All flags are int32 0/1 — Mosaic cannot shift/bitcast i1 vectors
+    ("Invalid vector register cast").
+
+    On TPU the log-steps run in a lax.while_loop with pltpu.roll's
+    DYNAMIC shift distance + an iota mask (``pos``): Mosaic retains
+    every Python-unrolled step's [H, W] temporaries, which blew the
+    scoped-VMEM limit by 7.7M at 512^2 (9 steps x m/r pairs); the loop
+    carry reuses one set of buffers.  Interpret mode (CPU tests) keeps
+    the static unroll — pltpu.roll has no interpret rule.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if unroll:
+        m, r = vals, barrier
+        d = 1
+        sgn = 1 if not reverse else -1
+        while d < length:
+            m_prev = _shift_val(m, axis, sgn * d, INF)
+            r_prev = _shift_val(r, axis, sgn * d, 1)
+            m = jnp.where(r > 0, m, jnp.minimum(m, m_prev))
+            r = jnp.maximum(r, r_prev)
+            d *= 2
+        return m
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def cond(state):
+        _, _, d = state
+        return d < length
+
+    def body(state):
+        m, r, d = state
+        if not reverse:
+            m_prev = pltpu.roll(m, d, axis)
+            r_prev = pltpu.roll(r, d, axis)
+            oob = pos < d          # wrapped-around lanes: identity fill
+        else:
+            m_prev = pltpu.roll(m, -d, axis)
+            r_prev = pltpu.roll(r, -d, axis)
+            oob = pos >= length - d
+        m_prev = jnp.where(oob, INF, m_prev)
+        r_prev = jnp.where(oob, 1, r_prev)
+        m = jnp.where(r > 0, m, jnp.minimum(m, m_prev))
+        r = jnp.maximum(r, r_prev)
+        return m, r, d * 2
+
+    m, _, _ = lax.while_loop(
+        cond, body, (vals, barrier, jnp.asarray(1, jnp.int32)))
+    return m
+
+
+def _ccl_mc_kernel(cls_ref, o_ref, *, h, w, max_iters, unroll):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    cls = cls_ref[...]
+    fg = cls > 0
+    idx = (lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+           + lax.broadcasted_iota(jnp.int32, (h, w), 1) + 1)
+    labels0 = jnp.where(fg, idx, 0)
+    # barriers are loop-invariant: hoisted out of the fixpoint iteration
+    # and PACKED into one int32 bit-plane (four separate [H, W] i32 masks
+    # put the 512^2 kernel 584K over the scoped-VMEM limit); int32 flags
+    # throughout (no i1 vector shifts in Mosaic)
+    barpack = jnp.zeros((h, w), jnp.int32)
+    for bit, (axis, rev) in enumerate(
+            ((1, False), (1, True), (0, False), (0, True))):
+        nb = _shift_val(cls, axis, -1 if rev else 1, -1)
+        barpack = barpack | ((cls != nb).astype(jnp.int32) << bit)
+    length = {1: w, 0: h}
+    pos = {1: lax.broadcasted_iota(jnp.int32, (h, w), 1),
+           0: lax.broadcasted_iota(jnp.int32, (h, w), 0)}
+
+    def sweep(labels):
+        vals = jnp.where(fg, labels, INF)
+        for axis in (1, 0):
+            bit0 = 0 if axis == 1 else 2
+            fwd = _seg_min_doubling(
+                vals, (barpack >> bit0) & 1, axis,
+                False, length[axis], pos[axis], unroll)
+            bwd = _seg_min_doubling(
+                vals, (barpack >> (bit0 + 1)) & 1, axis,
+                True, length[axis], pos[axis], unroll)
+            vals = jnp.where(fg, jnp.minimum(vals,
+                                             jnp.minimum(fwd, bwd)), INF)
+        return jnp.where(fg, vals, 0)
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed > 0, it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = sweep(labels)
+        changed = jnp.max(jnp.abs(new - labels))  # 0 iff fixpoint
+        return new, changed, it + 1
+
+    labels, _, _ = lax.while_loop(
+        cond, body,
+        (labels0, jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32)))
+    o_ref[...] = labels
+
+
+def _ccl_pallas_supported(h: int, w: int) -> bool:
+    # label map + a handful of live temporaries must fit VMEM comfortably
+    return w % 128 == 0 and h % 8 == 0 and h * w * 4 * 6 <= 12 * 2**20
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def connected_components_multiclass_pallas(
+    cls: jnp.ndarray, max_iters: int = 64
+) -> jnp.ndarray:
+    """VMEM-resident variant of ``connected_components_multiclass``."""
+    from jax.experimental import pallas as pl
+
+    h, w = cls.shape
+    interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_ccl_mc_kernel, h=h, w=w,
+                               max_iters=max_iters, unroll=interpret)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=interpret,
+    )(cls.astype(jnp.int32))
+
+
+def connected_components_multiclass_auto(
+    cls: jnp.ndarray, max_iters: int = 64
+) -> jnp.ndarray:
+    """Pick the VMEM-resident kernel when the map fits, else the XLA path."""
+    h, w = cls.shape
+    if _ccl_pallas_supported(h, w):
+        return connected_components_multiclass_pallas(
+            cls, max_iters=max_iters)
+    return connected_components_multiclass(cls, max_iters=max_iters)

@@ -208,3 +208,31 @@ def test_fused_masked_ce_matches_generic():
         valid[..., None], channel_axis=1)[0])(logits)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_ccl_multiclass_pallas_matches_xla():
+    """VMEM-resident CCL kernel vs the XLA while_loop path."""
+    import numpy as np
+
+    from msau_tpu.ops.ccl import (
+        connected_components_multiclass,
+        connected_components_multiclass_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    for h, w in ((64, 128), (32, 256)):
+        # blobby multi-class map: upsampled random classes
+        coarse = rng.integers(0, 4, (h // 8, w // 8))
+        cls = jnp.asarray(np.repeat(np.repeat(coarse, 8, 0), 8, 1),
+                          jnp.int32)
+        a = np.asarray(connected_components_multiclass(cls, max_iters=64))
+        b = np.asarray(
+            connected_components_multiclass_pallas(cls, max_iters=64))
+        np.testing.assert_array_equal(a, b)
+        # noisy map (many small components)
+        cls2 = jnp.asarray(rng.integers(0, 3, (h, w)), jnp.int32)
+        a2 = np.asarray(connected_components_multiclass(cls2,
+                                                        max_iters=128))
+        b2 = np.asarray(
+            connected_components_multiclass_pallas(cls2, max_iters=128))
+        np.testing.assert_array_equal(a2, b2)
