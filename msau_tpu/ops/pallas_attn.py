@@ -320,8 +320,17 @@ def _res_block_i(t: int, c: int, cap: int = 256, live: int = 3) -> int:
 
 
 def resident_attn_supported(t: int, cb: int, c: int) -> bool:
-    """Whole-operand VMEM residency + temp budget feasible?"""
+    """Whole-operand VMEM residency + temp budget feasible?
+
+    Calibrated on-chip: T=4096/C=64 compiles and wins at every block
+    size; T=16384 measured 24.0M scoped even at Bi=32 (the revisited
+    [T, C] f32 output block is 4.2M double-buffered before any softmax
+    temporaries) — those shapes keep the streaming online-softmax kernel
+    (fused_attention), whose whole point is unbounded T.
+    """
     if t % 8:
+        return False
+    if t * c * 4 > 2 * 2**20:   # resident accumulator cap (see above)
         return False
     return _res_block_i(t, c) >= 8
 
